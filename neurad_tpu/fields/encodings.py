@@ -1,0 +1,95 @@
+"""Encodings as flax.linen modules: hash grid, spherical harmonics, NeRF frequency.
+
+Counterpart of `nerfstudio/field_components/encodings.py` (HashEncoding 311,
+SHEncoding 760, NeRFEncoding 99). The hash table is a linen param; the functional
+core lives in `neurad_tpu.ops.hash_encoding` so kernels and tests share it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from neurad_tpu.core.structs import GaussiansStd
+from neurad_tpu.ops import hash_encoding as he
+from neurad_tpu.ops.spherical_harmonics import components_from_spherical_harmonics
+
+
+class HashEncoding(nn.Module):
+    """Multi-res hash encoding (`encodings.py:311-470`), 3D or 4D input.
+
+    Inputs are positions in [0,1]^D. When called with a GaussiansStd it applies the
+    NeuRAD per-level anti-aliasing downweighting and averages over multisamples
+    (`field_components/neurad_encoding.py:265-268,297-304`).
+    """
+
+    num_levels: int = 16
+    min_res: int = 16
+    max_res: int = 1024
+    log2_hashmap_size: int = 19
+    features_per_level: int = 2
+    n_input_dims: int = 3
+    hash_init_scale: float = 0.001
+
+    @property
+    def out_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    def setup(self):
+        self.table_size = 2**self.log2_hashmap_size
+        self.scales = jnp.asarray(he.level_scales(self.num_levels, self.min_res, self.max_res))
+        self.hash_table = self.param(
+            "hash_table",
+            lambda key: he.init_hash_table(
+                key, self.num_levels, self.table_size, self.features_per_level, self.hash_init_scale
+            ),
+        )
+
+    def __call__(self, positions) -> jnp.ndarray:
+        if isinstance(positions, GaussiansStd):
+            return he.hash_encode_gaussians(
+                positions.mean, positions.std, self.hash_table, self.scales, self.table_size
+            )
+        return he.hash_encode(positions, self.hash_table, self.scales, self.table_size)
+
+    def encode_with_level_weights(self, positions: jnp.ndarray, level_weights: Optional[jnp.ndarray]) -> jnp.ndarray:
+        return he.hash_encode(positions, self.hash_table, self.scales, self.table_size, level_weights)
+
+
+class SHEncoding(nn.Module):
+    """Spherical harmonic direction encoding (`encodings.py:760-805`)."""
+
+    levels: int = 4
+
+    @property
+    def out_dim(self) -> int:
+        return self.levels**2
+
+    def __call__(self, directions: jnp.ndarray) -> jnp.ndarray:
+        return components_from_spherical_harmonics(self.levels, directions)
+
+
+class NeRFEncoding(nn.Module):
+    """Sinusoidal frequency encoding (`encodings.py:99-194`)."""
+
+    in_dim: int = 3
+    num_frequencies: int = 10
+    min_freq_exp: float = 0.0
+    max_freq_exp: float = 8.0
+    include_input: bool = False
+
+    @property
+    def out_dim(self) -> int:
+        d = self.in_dim * self.num_frequencies * 2
+        return d + (self.in_dim if self.include_input else 0)
+
+    def __call__(self, in_tensor: jnp.ndarray) -> jnp.ndarray:
+        freqs = 2.0 ** jnp.linspace(self.min_freq_exp, self.max_freq_exp, self.num_frequencies)
+        scaled = in_tensor[..., None] * freqs  # [..., D, F]
+        scaled = scaled.reshape(in_tensor.shape[:-1] + (-1,))
+        encoded = jnp.concatenate([jnp.sin(2.0 * jnp.pi * scaled), jnp.cos(2.0 * jnp.pi * scaled)], axis=-1)
+        if self.include_input:
+            encoded = jnp.concatenate([encoded, in_tensor], axis=-1)
+        return encoded
