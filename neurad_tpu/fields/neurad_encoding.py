@@ -1,0 +1,196 @@
+"""NeuRAD hash encoding: static world grid + 4D dynamic-actor grid, merged per sample.
+
+TPU-native counterpart of `nerfstudio/field_components/neurad_encoding.py`
+(NeuRADHashEncoding 85, actor association 226-263, feature merge 184-185,
+std-rescaling 297-304). The reference's association uses `torch.nonzero` twice
+(dynamic shapes); here it is redesigned as a fixed-capacity, fully dense pipeline:
+
+1. Per ray, line-to-actor-center distance over ALL actors [R, A], eligibility =
+   (distance < actor radius) & present-at-time (`neurad_encoding.py:233-241`).
+2. `top_k` selects K=max_actors_per_ray nearest eligible actors per ray — static
+   shape [R, K] instead of a jagged nonzero list.
+3. Every sample is tested against its ray's K candidate boxes ([R, S, K] in-box
+   mask, `neurad_encoding.py:250-259`); the first hit wins (the reference keeps an
+   arbitrary duplicate too, see its NOTE at 260-262).
+4. Actor features are computed densely for ALL samples in the chosen actor's frame
+   (4D grid: actor_id/n_actors as 4th coord, `neurad_encoding.py:270-281`) and
+   merged with a `where` on the hit mask — no scatter, no dynamic shapes. The
+   wasted lookups on static samples are the price of static shapes; the actor grid
+   is ~2x smaller than the static grid so this costs <35% extra gather traffic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from neurad_tpu.core.structs import GaussiansStd
+from neurad_tpu.fields.spatial_distortions import scaled_scene_contraction_gaussian
+from neurad_tpu.model_components.dynamic_actors import ActorEdits, DynamicActors
+from neurad_tpu.ops import hash_encoding as he
+
+EPS = 1.0e-7
+
+
+class StaticSettings(NamedTuple):
+    """Static-world grid settings (`neurad_encoding.py:35-47`)."""
+
+    hashgrid_dim: int = 4
+    num_levels: int = 8
+    base_res: int = 32
+    max_res: int = 8192
+    log2_hashmap_size: int = 22
+
+
+class ActorSettings(NamedTuple):
+    """Actor grid settings (`neurad_encoding.py:50-68`)."""
+
+    flip_prob: float = 0.5
+    actor_scale: float = 10.0
+    hashgrid_dim: int = 4
+    num_levels: int = 4
+    base_res: int = 64
+    max_res: int = 1024
+    log2_hashmap_size: int = 17
+
+
+class NeuRADHashEncoding(nn.Module):
+    """Merged static+actor hash encoding (`neurad_encoding.py:85-304`).
+
+    Call with gaussians [R, S, M(multisample), 3]-mean / [R, S, M, 1]-std,
+    times [R, 1], optional directions [R, S, 3]. Returns (features [R, S, F],
+    directions-possibly-in-actor-frame).
+    """
+
+    actors: DynamicActors
+    static_scale: float
+    static: StaticSettings = StaticSettings()
+    actor: ActorSettings = ActorSettings()
+    disable_actors: bool = False
+    require_actor_grad: bool = True
+    max_actors_per_ray: int = 4
+
+    @property
+    def out_dim(self) -> int:
+        return self.static.num_levels * self.static.hashgrid_dim
+
+    def setup(self):
+        s, a = self.static, self.actor
+        self.static_table_size = 2**s.log2_hashmap_size
+        self.static_scales = jnp.asarray(he.level_scales(s.num_levels, s.base_res, s.max_res))
+        self.static_table = self.param(
+            "static_hash_table",
+            lambda key: he.init_hash_table(key, s.num_levels, self.static_table_size, s.hashgrid_dim),
+        )
+        self.actor_table_size = 2**a.log2_hashmap_size
+        self.actor_scales = jnp.asarray(he.level_scales(a.num_levels, a.base_res, a.max_res))
+        self.actor_table = self.param(
+            "actor_hash_table",
+            lambda key: he.init_hash_table(key, a.num_levels, self.actor_table_size, a.hashgrid_dim),
+        )
+
+    def __call__(
+        self,
+        positions: GaussiansStd,
+        times: jnp.ndarray,
+        directions: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        flip_rng: Optional[jax.Array] = None,
+        edits: Optional[ActorEdits] = None,
+        actor_to_id: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        # ---- static world features (`neurad_encoding.py:167-171,265-268`) ----
+        static_g = scaled_scene_contraction_gaussian(positions, self.static_scale)
+        features = he.hash_encode_gaussians(
+            static_g.mean, static_g.std, self.static_table, self.static_scales, self.static_table_size
+        )  # [R, S, L*F]
+
+        if self.disable_actors or self.actors.n_actors == 0:
+            return features, directions
+
+        # ---- actor association (fixed-capacity redesign of 226-263) ----
+        boxes2world, valid = self.actors.get_boxes2world(times[..., 0], edits=edits)  # [R,A,4,4],[R,A]
+        if not self.require_actor_grad:
+            boxes2world = jax.lax.stop_gradient(boxes2world)
+
+        bounds = self.actors.actor_bounds()  # [A, 3]
+        radii = jnp.linalg.norm(bounds, axis=-1)  # [A]
+        sample_pos = positions.mean.mean(-2)  # [R, S, 3] multisample-average
+
+        p0 = sample_pos[:, 0, :]  # [R, 3]
+        line_dir = sample_pos[:, -1, :] - p0
+        line_dir = line_dir / (jnp.linalg.norm(line_dir, axis=-1, keepdims=True) + EPS)
+        vec = boxes2world[..., :3, 3] - p0[:, None, :]  # [R, A, 3]
+        dist_to_line = jnp.linalg.norm(jnp.cross(vec, line_dir[:, None, :]), axis=-1)  # [R, A]
+        eligible = (dist_to_line < radii[None, :]) & valid
+
+        k = min(self.max_actors_per_ray, self.actors.n_actors)
+        score = jnp.where(eligible, -dist_to_line, -jnp.inf)
+        top_score, cand_idx = jax.lax.top_k(score, k)  # [R, K]
+        cand_ok = jnp.isfinite(top_score)
+
+        take = lambda arr: jnp.take_along_axis(arr, cand_idx.reshape(cand_idx.shape + (1,) * (arr.ndim - 2)), axis=1)
+        cand_b2w = take(boxes2world)  # [R, K, 4, 4]
+        # rigid inverse: R^T, -R^T t
+        rot_t = jnp.swapaxes(cand_b2w[..., :3, :3], -1, -2)  # [R, K, 3, 3]
+        inv_t = -jnp.einsum("rkij,rkj->rki", rot_t, cand_b2w[..., :3, 3])
+
+        # in-box test for all samples vs all candidates (`neurad_encoding.py:250-259`)
+        pos_in_box = jnp.einsum("rkij,rsj->rski", rot_t, sample_pos) + inv_t[:, None]  # [R, S, K, 3]
+        cand_bounds = bounds[cand_idx]  # [R, K, 3]
+        inside = jnp.all(jnp.abs(pos_in_box) < cand_bounds[:, None], axis=-1)  # [R, S, K]
+        inside = inside & cand_ok[:, None, :]
+
+        hit = jnp.any(inside, axis=-1)  # [R, S]
+        first = jnp.argmax(inside, axis=-1)  # [R, S] first candidate hit
+        sample_actor = jnp.take_along_axis(cand_idx, first, axis=-1)  # [R, S]
+        g1 = lambda arr: jnp.take_along_axis(  # gather per-sample candidate k
+            arr, first.reshape(first.shape + (1,) * (arr.ndim - 2)), axis=2
+        ).squeeze(2)
+        rot_sel = g1(jnp.broadcast_to(rot_t[:, None], (rot_t.shape[0], hit.shape[1]) + rot_t.shape[1:]))  # [R,S,3,3]
+        t_sel = g1(jnp.broadcast_to(inv_t[:, None], (inv_t.shape[0], hit.shape[1]) + inv_t.shape[1:]))  # [R,S,3]
+
+        # ---- transform to actor frame (+ random flip, `neurad_encoding.py:203-219`) ----
+        pos_actor = jnp.einsum("rsij,rsmj->rsmi", rot_sel, positions.mean) + t_sel[:, :, None, :]
+        if directions is not None:
+            dirs_actor = jnp.einsum("rsij,rsj->rsi", rot_sel, directions)
+            dirs_actor = dirs_actor / (jnp.linalg.norm(dirs_actor, axis=-1, keepdims=True) + EPS)
+        else:
+            dirs_actor = None
+
+        if train and self.actor.flip_prob > EPS and flip_rng is not None:
+            ray_flip = jnp.where(
+                jax.random.uniform(flip_rng, (hit.shape[0],)) < self.actor.flip_prob, -1.0, 1.0
+            )
+            pos_actor = pos_actor.at[..., 0].multiply(ray_flip[:, None, None])
+            if dirs_actor is not None:
+                dirs_actor = dirs_actor.at[..., 0].multiply(ray_flip[:, None])
+
+        if dirs_actor is not None and directions is not None:
+            directions = jnp.where(hit[..., None], dirs_actor, directions)
+
+        # ---- 4D actor grid lookup (`neurad_encoding.py:270-281`) ----
+        actor_g = scaled_scene_contraction_gaussian(
+            GaussiansStd(mean=pos_actor, std=positions.std), self.actor.actor_scale
+        )
+        if actor_to_id is None:
+            actor_ids = sample_actor
+        else:
+            actor_ids = actor_to_id[sample_actor]
+        id_coord = actor_ids.astype(features.dtype) / self.actors.n_actors  # [R, S]
+        mean4 = jnp.concatenate(
+            [actor_g.mean, jnp.broadcast_to(id_coord[..., None, None], actor_g.mean.shape[:-1] + (1,))],
+            axis=-1,
+        )
+        actor_feats = he.hash_encode_gaussians(
+            mean4, actor_g.std, self.actor_table, self.actor_scales, self.actor_table_size
+        )  # [R, S, La*Fa]
+
+        pad = self.out_dim - actor_feats.shape[-1]
+        if pad > 0:
+            actor_feats = jnp.pad(actor_feats, [(0, 0)] * (actor_feats.ndim - 1) + [(0, pad)])
+        features = jnp.where(hit[..., None], actor_feats, features)
+        return features, directions

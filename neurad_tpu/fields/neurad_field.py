@@ -1,0 +1,160 @@
+"""NeuRAD neural feature fields (flax).
+
+TPU-native counterpart of `nerfstudio/fields/neurad_field.py` (NeuRADField 78,
+NeuRADProposalField 185) and `nerfstudio/model_components/utils.py:21`
+(SigmoidDensity). The MLPs are plain Dense chains in MXU-friendly widths — XLA
+fuses the hashgrid-lookup → matmul chain; no Pallas needed at these widths.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from neurad_tpu.core.structs import RaySamples
+from neurad_tpu.fields.activations import trunc_exp
+from neurad_tpu.fields.mlp import MLP
+from neurad_tpu.fields.neurad_encoding import ActorSettings, NeuRADHashEncoding, StaticSettings
+from neurad_tpu.model_components.dynamic_actors import DynamicActors
+from neurad_tpu.ops.spherical_harmonics import components_from_spherical_harmonics
+
+
+class SigmoidDensity(nn.Module):
+    """SDF -> alpha via learnable-slope sigmoid (`model_components/utils.py:21-41`)."""
+
+    init_beta: float = 20.0
+    beta_min: float = 1e-4
+    learnable_beta: bool = True
+
+    @nn.compact
+    def __call__(self, sdf: jnp.ndarray) -> jnp.ndarray:
+        if self.learnable_beta:
+            beta_param = self.param("beta", lambda _: jnp.asarray([self.init_beta]))
+            beta = jnp.abs(beta_param) + self.beta_min
+        else:
+            beta = self.init_beta
+        return jax.nn.sigmoid(-sdf * beta)
+
+
+class FieldOutputs(NamedTuple):
+    """Field head outputs (reference FieldHeadNames dict, `neurad_field.py:150-160`)."""
+
+    features: jnp.ndarray  # [R, S, nff_out_dim]
+    alphas: Optional[jnp.ndarray] = None  # [R, S, 1] (use_sdf path)
+    sdf: Optional[jnp.ndarray] = None  # [R, S, 1]
+    density: Optional[jnp.ndarray] = None  # [R, S, 1] (trunc_exp path)
+
+
+def get_normalized_directions(directions: jnp.ndarray) -> jnp.ndarray:
+    """SH-encoding input normalization (`fields/base_field.py`): [-1,1] -> [0,1]."""
+    return (directions + 1.0) / 2.0
+
+
+class NeuRADField(nn.Module):
+    """The main neural feature field (`neurad_field.py:78-182`).
+
+    hashgrid -> mlp_geo(2 layers, 32 wide) -> (sdf | density, geo embedding 32) ;
+    SH(4)-encoded actor-frame directions -> mlp_feature(3x32) + residual.
+    """
+
+    actors: DynamicActors
+    static_scale: float
+    static: StaticSettings = StaticSettings()
+    actor: ActorSettings = ActorSettings(flip_prob=0.25)
+    geo_hidden_dim: int = 32
+    geo_num_layers: int = 2
+    nff_hidden_dim: int = 32
+    nff_num_layers: int = 3
+    nff_out_dim: int = 32
+    num_multisamples: int = 1
+    use_sdf: bool = True
+    sdf_beta: float = 20.0
+    learnable_beta: bool = True
+    require_actor_grad: bool = True
+    max_actors_per_ray: int = 4
+    sh_levels: int = 4
+
+    def setup(self):
+        self.hashgrid = NeuRADHashEncoding(
+            actors=self.actors,
+            static_scale=self.static_scale,
+            static=self.static,
+            actor=self.actor,
+            require_actor_grad=self.require_actor_grad,
+            max_actors_per_ray=self.max_actors_per_ray,
+        )
+        self.mlp_geo = MLP(
+            out_dim=self.nff_out_dim + 1, num_layers=self.geo_num_layers, layer_width=self.geo_hidden_dim
+        )
+        self.mlp_feature = MLP(
+            out_dim=self.nff_out_dim, num_layers=self.nff_num_layers, layer_width=self.nff_hidden_dim
+        )
+        if self.use_sdf:
+            self.sdf_to_alpha = SigmoidDensity(init_beta=self.sdf_beta, learnable_beta=self.learnable_beta)
+
+    def __call__(
+        self,
+        ray_samples: RaySamples,
+        train: bool = False,
+        flip_rng: Optional[jax.Array] = None,
+    ) -> FieldOutputs:
+        gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(self.num_multisamples)
+        features, directions = self.hashgrid(
+            gaussians,
+            ray_samples.times if ray_samples.times is not None else jnp.zeros_like(ray_samples.deltas[..., 0, :]),
+            ray_samples.frustums.directions,
+            train=train,
+            flip_rng=flip_rng,
+        )
+
+        geo = self.mlp_geo(features)  # [R, S, 1 + nff_out_dim]
+        geo_out, geo_embedding = geo[..., :1], geo[..., 1:]
+        dir_embedding = components_from_spherical_harmonics(
+            self.sh_levels, get_normalized_directions(directions)
+        )
+        feature = geo_embedding + self.mlp_feature(jnp.concatenate([geo_embedding, dir_embedding], axis=-1))
+
+        if self.use_sdf:
+            return FieldOutputs(features=feature, sdf=geo_out, alphas=self.sdf_to_alpha(geo_out))
+        return FieldOutputs(features=feature, density=trunc_exp(geo_out))
+
+
+class NeuRADProposalField(nn.Module):
+    """Density-only proposal field (`neurad_field.py:185-216`): hashgrid -> bias-free
+    linear -> trunc_exp."""
+
+    actors: DynamicActors
+    static_scale: float
+    static: StaticSettings = StaticSettings(
+        log2_hashmap_size=20, num_levels=6, max_res=4096, base_res=128, hashgrid_dim=1
+    )
+    actor: ActorSettings = ActorSettings(
+        log2_hashmap_size=15, num_levels=4, base_res=64, max_res=1024, hashgrid_dim=1
+    )
+    max_actors_per_ray: int = 4
+
+    def setup(self):
+        self.hashgrid = NeuRADHashEncoding(
+            actors=self.actors,
+            static_scale=self.static_scale,
+            static=self.static,
+            actor=self.actor,
+            require_actor_grad=False,  # no trajectory grads through proposals (`neurad_field.py:199`)
+            max_actors_per_ray=self.max_actors_per_ray,
+        )
+        self.density_decoder = nn.Dense(1, use_bias=False)
+
+    def get_density(self, ray_samples: RaySamples) -> jnp.ndarray:
+        gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(1)
+        feats, _ = self.hashgrid(
+            gaussians,
+            ray_samples.times if ray_samples.times is not None else jnp.zeros_like(ray_samples.deltas[..., 0, :]),
+            None,
+        )
+        return trunc_exp(self.density_decoder(feats))
+
+    def __call__(self, ray_samples: RaySamples) -> jnp.ndarray:
+        return self.get_density(ray_samples)

@@ -1,0 +1,448 @@
+"""NeuRAD: neural feature fields for dynamic AD scenes (camera + lidar).
+
+TPU-native counterpart of `nerfstudio/models/neurad.py` (NeuRADModel 165, config
+66-162, forward 302-424, losses 461-561) and `nerfstudio/models/ad_model.py:49`.
+
+TPU-first redesign notes:
+- One flax module; the training step is a pure function of (params, batch, rng).
+- The ray batch has a STATIC layout: the first `num_cam_rays` rays are camera rays
+  (B patches of DxD), the rest are lidar rays. The reference gathers by boolean
+  `is_lidar` masks (`neurad.py:345-357`, dynamic shapes); here the split is a
+  static slice so everything jits and shards cleanly.
+- Quantile masks / carving masks are computed densely with masking instead of
+  `nonzero` indexing (`neurad.py:676-700`).
+- The proposal sampler's `update_sched` is `lambda x: 0` in the reference (no
+  proposal-grad annealing), so no schedule plumbing is needed.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from neurad_tpu.cameras.camera_optimizers import CameraOptimizer
+from neurad_tpu.core.structs import RayBundle, RaySamples
+from neurad_tpu.fields.mlp import MLP
+from neurad_tpu.fields.neurad_encoding import ActorSettings, StaticSettings
+from neurad_tpu.fields.neurad_field import NeuRADField, NeuRADProposalField
+from neurad_tpu.model_components import losses as L
+from neurad_tpu.model_components.cnns import RGBDecoderCNN
+from neurad_tpu.model_components.dynamic_actors import ActorData, DynamicActors
+from neurad_tpu.model_components.ray_samplers import power_spacing, proposal_sampler
+from neurad_tpu.ops import rendering as R
+
+EPS = 1e-7
+
+
+class LossSettings(NamedTuple):
+    """Loss multipliers (`models/neurad.py:66-94`)."""
+
+    vgg_mult: float = 0.05
+    rgb_mult: float = 5.0
+    depth_mult: float = 0.01
+    intensity_mult: float = 0.1
+    carving_mult: float = 0.01
+    carving_epsilon: float = 0.1
+    quantile_threshold: float = 0.95
+    interlevel_loss_mult: float = 0.001
+    distortion_loss_mult: float = 0.002
+    non_return_lidar_distance: float = 150.0
+    non_return_loss_mult: float = 0.1
+    ray_drop_loss_mult: float = 0.01
+    prop_lidar_loss_mult: float = 0.1
+
+
+class SamplingSettings(NamedTuple):
+    """Proposal sampling settings (`models/neurad.py:98-117`)."""
+
+    single_jitter: bool = True
+    num_proposal_samples: Tuple[int, ...] = (128, 64)
+    num_nerf_samples: int = 32
+    power_lambda: float = -1.0
+    power_scaling: float = 0.1
+    sky_distance: float = 20000.0
+
+
+class NeuRADModel(nn.Module):
+    """The NeuRAD model (`models/neurad.py:165-734`).
+
+    Static attributes mirror NeuRADModelConfig; `actor_data` carries trajectories
+    (from the dataparser), `static_scale` is the scene aabb extent.
+    """
+
+    actor_data: ActorData
+    static_scale: float
+    num_sensors: int = 1
+    duration: float = 10.0
+    num_train_images: int = 1
+    loss: LossSettings = LossSettings()
+    sampling: SamplingSettings = SamplingSettings()
+    # field settings (`fields/neurad_field.py:44-76`)
+    field_static: StaticSettings = StaticSettings()
+    field_actor: ActorSettings = ActorSettings(flip_prob=0.25)
+    proposal_static: Tuple[StaticSettings, ...] = (
+        StaticSettings(log2_hashmap_size=20, num_levels=6, max_res=4096, base_res=128, hashgrid_dim=1),
+        StaticSettings(log2_hashmap_size=20, num_levels=6, max_res=4096, base_res=128, hashgrid_dim=1),
+    )
+    proposal_actor: ActorSettings = ActorSettings(
+        log2_hashmap_size=15, num_levels=4, base_res=64, max_res=1024, hashgrid_dim=1
+    )
+    appearance_dim: int = 16
+    use_temporal_appearance: bool = True
+    temporal_appearance_freq: float = 1.0
+    rgb_upsample_factor: int = 3
+    rgb_hidden_dim: int = 32
+    nff_out_dim: int = 32
+    use_sdf: bool = True
+    camera_opt_mode: str = "off"
+    optimize_trajectories: bool = True
+    max_actors_per_ray: int = 4
+
+    @property
+    def num_proposal_rounds(self) -> int:
+        return len(self.sampling.num_proposal_samples)
+
+    @property
+    def _num_embeds_per_sensor(self) -> int:
+        return max(1, math.ceil(self.duration * self.temporal_appearance_freq))
+
+    def setup(self):
+        self.actors = DynamicActors(data=self.actor_data, optimize_trajectories=self.optimize_trajectories)
+        self.field = NeuRADField(
+            actors=self.actors,
+            static_scale=self.static_scale,
+            static=self.field_static,
+            actor=self.field_actor,
+            nff_out_dim=self.nff_out_dim,
+            use_sdf=self.use_sdf,
+            max_actors_per_ray=self.max_actors_per_ray,
+        )
+        self.proposal_fields = [
+            NeuRADProposalField(
+                actors=self.actors,
+                static_scale=self.static_scale,
+                static=s,
+                actor=self.proposal_actor,
+                max_actors_per_ray=self.max_actors_per_ray,
+                name=f"proposal_field_{i}",
+            )
+            for i, s in enumerate(self.proposal_static)
+        ]
+        self.camera_optimizer = CameraOptimizer(num_cameras=self.num_train_images, mode=self.camera_opt_mode)
+        num_embeds = self.num_sensors * (self._num_embeds_per_sensor if self.use_temporal_appearance else 1)
+        self.appearance_embedding = nn.Embed(num_embeds, self.appearance_dim)
+        self.rgb_decoder = RGBDecoderCNN(hidden_dim=self.rgb_hidden_dim, upsample_factor=self.rgb_upsample_factor)
+        self.lidar_decoder = MLP(out_dim=2, num_layers=3, layer_width=32)
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        ray_bundle: RayBundle,
+        patch_size: Tuple[int, int] = (1, 1),
+        num_cam_rays: int = 0,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        return self.get_outputs(ray_bundle, patch_size, num_cam_rays, train, rng)
+
+    def get_outputs(
+        self,
+        ray_bundle: RayBundle,
+        patch_size: Tuple[int, int] = (1, 1),
+        num_cam_rays: int = 0,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+        intensity_for_cam: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Full forward (`models/neurad.py:311-336`): NFF render + modality decode.
+
+        The first `num_cam_rays` rays are camera rays laid out as patches of
+        `patch_size`; the remainder are lidar rays.
+        """
+        ray_bundle = self.camera_optimizer.apply_to_raybundle(ray_bundle)
+        outputs = self.get_nff_outputs(ray_bundle, num_cam_rays, train, rng)
+        features = outputs.pop("features")
+        rgb, intensity, ray_drop_logits = self.decode_features(
+            features, patch_size, num_cam_rays, train=train, intensity_for_cam=intensity_for_cam
+        )
+        if rgb is not None:
+            outputs["rgb"] = rgb
+        if intensity is not None:
+            outputs["intensity"] = intensity
+            outputs["ray_drop_logits"] = ray_drop_logits
+        return outputs
+
+    def decode_features(
+        self,
+        features: jnp.ndarray,
+        patch_size: Tuple[int, int],
+        num_cam_rays: int,
+        train: bool = False,
+        intensity_for_cam: bool = False,
+    ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        """Static-split modality decoding (`models/neurad.py:337-366`)."""
+        cam_features = features[:num_cam_rays]
+        lidar_features = features if intensity_for_cam else features[num_cam_rays:]
+
+        intensity = ray_drop_logit = None
+        if lidar_features.shape[0] > 0:
+            out = self.lidar_decoder(lidar_features)
+            intensity, ray_drop_logit = jax.nn.sigmoid(out[..., :1]), out[..., 1:]
+
+        rgb = None
+        if cam_features.shape[0] > 0:
+            patches = cam_features.reshape(-1, *patch_size, cam_features.shape[-1])
+            rgb = self.rgb_decoder(patches, train=train)  # [B, D*up, D*up, 3]
+        return rgb, intensity, ray_drop_logit
+
+    def get_nff_outputs(
+        self,
+        ray_bundle: RayBundle,
+        num_cam_rays: int = 0,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Neural-feature-field render (`models/neurad.py:368-424`)."""
+        ray_bundle = self._scale_pixel_area(ray_bundle, num_cam_rays)
+        rng_samp, rng_flip = jax.random.split(rng) if rng is not None else (None, None)
+        ray_samples, prop_weights, prop_samples = self._get_ray_samples(ray_bundle, rng_samp)
+
+        field_out = self.field(ray_samples, train=train, flip_rng=rng_flip)
+
+        if self.use_sdf:
+            weights, _ = R.render_weights_from_alpha(field_out.alphas)
+        else:
+            weights = R.render_weights_from_density(field_out.density, ray_samples.deltas)
+        weights = weights[..., 0]  # [R, S]
+        accumulation = jnp.sum(weights, axis=-1, keepdims=True)  # [R, 1]
+
+        # leftover accumulation onto the sky sample (`neurad.py:378-381`)
+        weights = jnp.concatenate([weights[..., :-1], weights[..., -1:] + 1.0 - accumulation], axis=-1)
+        weights = weights[..., None]  # [R, S, 1]
+        features = R.accumulate_along_rays(weights, field_out.features)  # [R, F]
+        if self.appearance_dim > 0:
+            appearance = self._get_appearance_embedding(ray_bundle, features)
+            features = jnp.concatenate([features, appearance], axis=-1)
+
+        # discard sky sample for depth (`neurad.py:393-398`)
+        w_nosky = weights[..., :-1, :]
+        mids = (ray_samples.frustums.starts + ray_samples.frustums.ends) / 2.0
+        depth = R.accumulate_along_rays(w_nosky, mids[..., :-1, :])
+
+        outputs: Dict[str, jnp.ndarray] = {
+            "features": features,
+            "depth": depth,
+            "accumulation": accumulation,
+        }
+        for i, (pw, ps) in enumerate(zip(prop_weights, prop_samples)):
+            pmids = (ps.frustums.starts + ps.frustums.ends) / 2.0
+            outputs[f"prop_depth_{i}"] = R.accumulate_along_rays(pw, pmids)
+
+        if train:
+            # histograms for interlevel/distortion (`neurad.py:407-410`)
+            outputs["weights_list"] = list(prop_weights) + [w_nosky]
+            outputs["sdist_list"] = [
+                L.ray_samples_to_sdist(s.spacing_starts, s.spacing_ends) for s in prop_samples
+            ] + [
+                L.ray_samples_to_sdist(
+                    ray_samples.spacing_starts[..., :-1, :], ray_samples.spacing_ends[..., :-1, :]
+                )
+            ]
+            # carving masks (`neurad.py:676-700`), dense/masked
+            is_lidar = self._is_lidar_mask(ray_bundle, num_cam_rays)  # [R]
+            outputs["is_lidar"] = is_lidar
+            ranges = ray_bundle.metadata.get("directions_norm")
+            did_return = ray_bundle.metadata.get("did_return")
+            if ranges is not None:
+                outputs["nff_carving_mask"] = self._carving_mask(ray_samples, is_lidar, ranges, did_return)
+                outputs["nff_weights"] = weights
+                for i, ps in enumerate(prop_samples):
+                    outputs[f"prop_carving_mask_{i}"] = self._carving_mask(ps, is_lidar, ranges, did_return)
+                    outputs[f"prop_weights_{i}"] = prop_weights[i]
+        return outputs
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _is_lidar_mask(self, ray_bundle: RayBundle, num_cam_rays: int) -> jnp.ndarray:
+        n = ray_bundle.origins.shape[0]
+        return jnp.arange(n) >= num_cam_rays
+
+    def _scale_pixel_area(self, ray_bundle: RayBundle, num_cam_rays: int) -> RayBundle:
+        """Camera rays cover upsample^2 pixels each (`neurad.py:702-709`)."""
+        n = ray_bundle.origins.shape[0]
+        is_cam = (jnp.arange(n) < num_cam_rays)[:, None]
+        scaling = jnp.where(is_cam, float(self.rgb_upsample_factor**2), 1.0)
+        return ray_bundle.replace(pixel_area=ray_bundle.pixel_area * scaling)
+
+    def _get_ray_samples(self, ray_bundle: RayBundle, rng: Optional[jax.Array]):
+        """Proposal sampling + sky-sample stretch (`neurad.py:443-459`)."""
+        sky = self.sampling.sky_distance
+        fars = ray_bundle.fars if ray_bundle.fars is not None else jnp.full_like(ray_bundle.pixel_area, sky)
+        fars = jnp.clip(fars, None, sky)
+        nears = ray_bundle.nears if ray_bundle.nears is not None else jnp.zeros_like(fars)
+        ray_bundle = ray_bundle.replace(nears=nears, fars=fars)
+
+        spacing = power_spacing(self.sampling.power_lambda, self.sampling.power_scaling)
+        density_fns = [f.get_density for f in self.proposal_fields]
+        ray_samples, weights_list, samples_list = proposal_sampler(
+            ray_bundle,
+            density_fns,
+            self.sampling.num_proposal_samples,
+            self.sampling.num_nerf_samples,
+            spacing=spacing,
+            key=rng,
+            single_jitter=self.sampling.single_jitter,
+        )
+        # stretch last sample to the sky (`neurad.py:451-455`)
+        f = ray_samples.frustums
+        dist_to_sky = sky - f.ends[..., -1, 0]
+        new_ends = f.ends.at[..., -1, 0].add(dist_to_sky)
+        new_deltas = ray_samples.deltas.at[..., -1, 0].add(dist_to_sky)
+        new_spacing_ends = ray_samples.spacing_ends.at[..., -1, 0].set(1.0 - EPS)
+        ray_samples = ray_samples.replace(
+            frustums=f.replace(ends=new_ends), deltas=new_deltas, spacing_ends=new_spacing_ends
+        )
+        return ray_samples, weights_list, samples_list
+
+    def _carving_mask(
+        self,
+        ray_samples: RaySamples,
+        is_lidar: jnp.ndarray,
+        ranges: jnp.ndarray,
+        did_return: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        """[R, S] mask of lidar samples NOT close to the measured return
+        (`neurad.py:676-700`); weights there should carve to zero."""
+        sample_dist = (ray_samples.frustums.starts + ray_samples.frustums.ends)[..., 0] * 0.5  # [R, S]
+        close_to_hit = jnp.abs(ranges - sample_dist) < self.loss.carving_epsilon
+        if did_return is not None:
+            in_range = sample_dist < self.loss.non_return_lidar_distance
+            is_close = jnp.where(did_return, close_to_hit, in_range)
+        else:
+            is_close = close_to_hit
+        return (~is_close) & is_lidar[:, None]
+
+    def _get_appearance_embedding(self, ray_bundle: RayBundle, features: jnp.ndarray) -> jnp.ndarray:
+        """Per-sensor (temporally interpolated) appearance (`neurad.py:423-441`)."""
+        sensor_idx = ray_bundle.metadata.get("sensor_idxs")
+        if sensor_idx is None:
+            sensor_idx = jnp.zeros((features.shape[0], 1), dtype=jnp.int32)
+        sensor_idx = sensor_idx[..., 0].astype(jnp.int32)
+
+        if self.use_temporal_appearance:
+            eps_per_sensor = self._num_embeds_per_sensor
+            times = ray_bundle.times[..., 0] if ray_bundle.times is not None else jnp.zeros(features.shape[0])
+            time_idx = times / self.duration * eps_per_sensor
+            before = jnp.clip(jnp.floor(time_idx), 0, eps_per_sensor - 1)
+            after = jnp.clip(before + 1, 0, eps_per_sensor - 1)
+            ratio = (time_idx - before)[..., None]
+            before_embed = self.appearance_embedding((before + sensor_idx * eps_per_sensor).astype(jnp.int32))
+            after_embed = self.appearance_embedding((after + sensor_idx * eps_per_sensor).astype(jnp.int32))
+            return before_embed * (1.0 - ratio) + after_embed * ratio
+        return self.appearance_embedding(sensor_idx)
+
+    # ------------------------------------------------------------------
+    # losses & metrics (`models/neurad.py:461-561`)
+    # ------------------------------------------------------------------
+
+    def compute_losses(
+        self, outputs: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray], num_cam_rays: int
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Full training loss (`get_metrics_dict` 461 + `get_loss_dict` 531 merged).
+
+        batch keys: `image` [B, Hp, Wp, 3] GT patches; lidar rays carry
+        `distance` [N_l, 1], `did_return` [N_l, 1], `intensity` [N_l, 1].
+        Returns (total_loss, dict of unweighted metrics + weighted losses).
+        """
+        conf = self.loss
+        loss_dict: Dict[str, jnp.ndarray] = {}
+        metrics: Dict[str, jnp.ndarray] = {}
+
+        if "image" in batch and "rgb" in outputs:
+            image, rgb = batch["image"], outputs["rgb"]
+            loss_dict["rgb_loss"] = jnp.mean((image - rgb) ** 2) * conf.rgb_mult
+            metrics["psnr"] = L.psnr(jax.lax.stop_gradient(rgb), image)
+            if conf.vgg_mult > 0.0 and "vgg_params" in batch:
+                from neurad_tpu.model_components.perceptual import vgg_perceptual_loss
+
+                loss_dict["vgg_loss"] = vgg_perceptual_loss(batch["vgg_params"], rgb, image) * conf.vgg_mult
+
+        if "distance" in batch:
+            depth = outputs["depth"][num_cam_rays:]  # [N_l, 1]
+            n_lidar = jnp.asarray(depth.shape[0], dtype=depth.dtype)
+            did_return = batch["did_return"][..., 0]  # [N_l]
+            termination = batch["distance"]  # [N_l, 1]
+
+            def depth_terms(pred_depth):
+                nonret = jnp.maximum(jax.lax.stop_gradient(pred_depth), conf.non_return_lidar_distance)
+                target = jnp.where(did_return[:, None], termination, nonret)
+                unred = jnp.abs(target - pred_depth)
+                return jnp.where(did_return[:, None], unred, unred * conf.non_return_loss_mult)
+
+            unred = depth_terms(depth)
+            quantile = L.masked_quantile(unred, jnp.ones_like(unred, dtype=bool), conf.quantile_threshold)
+            qmask = (unred < quantile)[..., 0]
+            metrics["depth_loss"] = L.masked_mean(unred[..., 0], qmask)
+            loss_dict["depth_loss"] = conf.depth_mult * metrics["depth_loss"]
+
+            if "intensity" in outputs:
+                qr = qmask & did_return
+                int_err = (batch["intensity"] - outputs["intensity"]) ** 2
+                metrics["intensity_loss"] = L.masked_mean(int_err[..., 0], qr)
+                loss_dict["intensity_loss"] = conf.intensity_mult * metrics["intensity_loss"]
+
+                logits = outputs["ray_drop_logits"][..., 0]
+                targets = (~did_return).astype(logits.dtype)
+                bce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+                metrics["ray_drop_loss"] = jnp.mean(bce)
+                loss_dict["ray_drop_loss"] = conf.ray_drop_loss_mult * metrics["ray_drop_loss"]
+
+                metrics["ray_drop_accuracy"] = jnp.mean(
+                    ((jax.nn.sigmoid(logits) > 0.5) == ~did_return).astype(jnp.float32)
+                )
+
+            # eval-style metrics (`neurad.py:486-494`)
+            metrics["depth_median_l2"] = L.masked_quantile((depth - termination) ** 2, did_return[:, None], 0.5)
+            rel = ((depth - termination) / jnp.clip(termination, EPS, None)) ** 2
+            metrics["depth_mean_rel_l2"] = L.masked_mean(rel[..., 0], did_return)
+
+            # carving losses (`neurad.py:509-517`)
+            if "nff_weights" in outputs:
+                w, m = outputs["nff_weights"][..., 0], outputs["nff_carving_mask"]
+                metrics["carving_loss"] = jnp.sum((w * m) ** 2) / n_lidar
+                loss_dict["carving_loss"] = conf.carving_mult * metrics["carving_loss"]
+                for i in range(self.num_proposal_rounds):
+                    pw, pm = outputs[f"prop_weights_{i}"][..., 0], outputs[f"prop_carving_mask_{i}"]
+                    metrics[f"carving_loss_{i}"] = jnp.sum((pw * pm) ** 2) / n_lidar
+                    loss_dict[f"carving_loss_{i}"] = (
+                        conf.prop_lidar_loss_mult * conf.carving_mult * metrics[f"carving_loss_{i}"]
+                    )
+                    pd = outputs[f"prop_depth_{i}"][num_cam_rays:]
+                    metrics[f"depth_loss_{i}"] = jnp.mean(depth_terms(pd))
+                    loss_dict[f"depth_loss_{i}"] = (
+                        conf.prop_lidar_loss_mult * conf.depth_mult * metrics[f"depth_loss_{i}"]
+                    )
+
+        if "weights_list" in outputs:
+            loss_dict["interlevel_loss"] = conf.interlevel_loss_mult * L.zipnerf_interlevel_loss(
+                outputs["weights_list"], outputs["sdist_list"]
+            )
+            metrics["distortion"] = L.distortion_loss(outputs["weights_list"], outputs["sdist_list"])
+            loss_dict["distortion_loss"] = conf.distortion_loss_mult * metrics["distortion"]
+
+        camera_opt_reg = self.camera_optimizer.regularization_loss()
+        if self.camera_opt_mode != "off":
+            loss_dict["camera_opt_regularizer"] = camera_opt_reg
+
+        total = sum(loss_dict.values(), jnp.zeros(()))
+        metrics.update({k: jax.lax.stop_gradient(v) for k, v in loss_dict.items()})
+        return total, metrics
