@@ -112,7 +112,9 @@ class NeuRADHashEncoding(nn.Module):
             return features, directions
 
         # ---- actor association (fixed-capacity redesign of 226-263) ----
-        boxes2world, valid = self.actors.get_boxes2world(times[..., 0], edits=edits)  # [R,A,4,4],[R,A]
+        # per-ray time = first sample's time (reference `times[:, 0]`, line 189)
+        ray_times = times.reshape(times.shape[0], -1)[:, 0]
+        boxes2world, valid = self.actors.get_boxes2world(ray_times, edits=edits)  # [R,A,4,4],[R,A]
         if not self.require_actor_grad:
             boxes2world = jax.lax.stop_gradient(boxes2world)
 
