@@ -1,0 +1,134 @@
+"""Method presets: full training configurations by name.
+
+TPU-native counterpart of `nerfstudio/configs/method_configs.py` (method_configs
+dict 49, neurad preset 395-433, *-scaleopt / scaled variants 451-545). tyro isn't
+available in this image, so presets are plain dataclasses resolved by name with
+dotted-path CLI overrides (`scripts/train.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+from neurad_tpu.data.datamanager import ADDataManagerConfig
+from neurad_tpu.engine.optimizers import NEURAD_OPTIMIZER_GROUPS, OptimizerGroupConfig
+from neurad_tpu.engine.trainer import TrainerConfig
+from neurad_tpu.models.neurad import SamplingSettings
+from neurad_tpu.pipelines.ad_pipeline import ADPipelineConfig
+
+
+@dataclasses.dataclass
+class MethodConfig:
+    """One method's full training setup (reference TrainerConfig preset)."""
+
+    method_name: str
+    trainer: TrainerConfig
+    pipeline: ADPipelineConfig
+    dataparser: str = "synthetic"
+    description: str = ""
+
+
+def _scaled(cfg: MethodConfig, scale: float, newname: str) -> MethodConfig:
+    """Scale training length (`method_configs.py:451-462` _scaled_neurad_training)."""
+    import copy
+
+    out = copy.deepcopy(cfg)
+    out.method_name = newname
+    t = out.trainer
+    t.max_num_iterations = int((t.max_num_iterations - 1) * scale + 1)
+    t.steps_per_eval_batch = int(t.steps_per_eval_batch * scale)
+    t.steps_per_save = int(t.steps_per_save * scale)
+    for g in out.pipeline.optimizer_groups.values():
+        object.__setattr__(g, "max_steps", int((g.max_steps - 1) * scale + 1)) if dataclasses.is_dataclass(g) else None
+    return out
+
+
+def _neurad() -> MethodConfig:
+    """The `neurad` preset (`method_configs.py:395-433`)."""
+    return MethodConfig(
+        method_name="neurad",
+        description="NeuRAD: neural feature field for dynamic AD scenes",
+        trainer=TrainerConfig(
+            max_num_iterations=20001,
+            steps_per_eval_batch=500,
+            steps_per_save=2000,
+            steps_per_log=100,
+        ),
+        pipeline=ADPipelineConfig(
+            datamanager=ADDataManagerConfig(num_cam_patches=40, patch_size=32, num_lidar_rays=16384),
+            model_overrides=dict(sampling=SamplingSettings()),
+            optimizer_groups=dict(NEURAD_OPTIMIZER_GROUPS),
+        ),
+    )
+
+
+def _neurad_tiny() -> MethodConfig:
+    """Small config for CPU smoke runs and CI."""
+    from neurad_tpu.fields.neurad_encoding import ActorSettings, StaticSettings
+
+    return MethodConfig(
+        method_name="neurad-tiny",
+        description="Tiny NeuRAD for CPU smoke testing",
+        trainer=TrainerConfig(max_num_iterations=200, steps_per_eval_batch=100, steps_per_save=10**9,
+                              steps_per_log=20),
+        pipeline=ADPipelineConfig(
+            datamanager=ADDataManagerConfig(num_cam_patches=4, patch_size=6, num_lidar_rays=256),
+            model_overrides=dict(
+                sampling=SamplingSettings(num_proposal_samples=(12, 8), num_nerf_samples=6, sky_distance=1000.0),
+                field_static=StaticSettings(num_levels=4, base_res=16, max_res=256, log2_hashmap_size=13, hashgrid_dim=4),
+                field_actor=ActorSettings(num_levels=2, base_res=16, max_res=64, log2_hashmap_size=11, hashgrid_dim=4),
+                proposal_static=(
+                    StaticSettings(num_levels=2, base_res=16, max_res=128, log2_hashmap_size=11, hashgrid_dim=1),
+                    StaticSettings(num_levels=2, base_res=16, max_res=128, log2_hashmap_size=11, hashgrid_dim=1),
+                ),
+                proposal_actor=ActorSettings(num_levels=2, base_res=16, max_res=64, log2_hashmap_size=9, hashgrid_dim=1),
+                appearance_dim=4,
+                max_actors_per_ray=1,
+            ),
+            optimizer_groups={
+                "fields": OptimizerGroupConfig(lr=5e-3, warmup_steps=0),
+                "hashgrids": OptimizerGroupConfig(lr=5e-3, warmup_steps=0),
+                "cnn": OptimizerGroupConfig(lr=5e-3, warmup_steps=0),
+                "trajectory_opt": OptimizerGroupConfig(lr=1e-4, warmup_steps=0),
+                "camera_opt": OptimizerGroupConfig(lr=1e-4, warmup_steps=0),
+            },
+        ),
+    )
+
+
+_REGISTRY: Dict[str, Callable[[], MethodConfig]] = {
+    "neurad": _neurad,
+    "neurad-tiny": _neurad_tiny,
+    "neurad-paper": lambda: _scaled(_neurad(), 4.0, "neurad-paper"),
+    "neurader": lambda: _scaled(_neurad(), 2.0, "neurader"),
+    "neuradest": lambda: _scaled(_neurad(), 0.25, "neuradest"),
+}
+
+
+def get_method_config(name: str) -> MethodConfig:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown method {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]()
+
+
+def all_methods() -> Dict[str, str]:
+    return {n: f().description for n, f in _REGISTRY.items()}
+
+
+def register_method(name: str, factory: Callable[[], MethodConfig]) -> None:
+    """Plugin-style method registration (`plugins/registry.py:34`)."""
+    _REGISTRY[name] = factory
+
+
+def get_dataparser(name: str, **kwargs):
+    """Dataparser registry (extended as parsers are added)."""
+    if name == "synthetic":
+        from neurad_tpu.data.dataparsers.synthetic import SyntheticDataParserConfig
+
+        return SyntheticDataParserConfig(**kwargs).setup()
+    if name == "pandaset":
+        from neurad_tpu.data.dataparsers.pandaset import PandaSetDataParserConfig
+
+        return PandaSetDataParserConfig(**kwargs).setup()
+    raise KeyError(f"unknown dataparser {name!r}")

@@ -1,0 +1,171 @@
+"""AD pipeline: builds the NeuRAD model from parsed data and drives training/eval.
+
+TPU-native counterpart of `nerfstudio/pipelines/ad_pipeline.py:57` +
+`base_pipeline.py:226-463`. The pipeline owns the datamanager and the model
+*definition*; parameters/optimizer state live in the TrainState (pure functions
+everywhere). Evaluation renders full sensors chunk-wise like
+`get_average_eval_image_metrics` (`ad_pipeline.py:145-306`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurad_tpu.core.structs import RayBundle, tree_getitem
+from neurad_tpu.data.datamanager import ADDataManager, ADDataManagerConfig
+from neurad_tpu.data.dataparsers.base import ADDataparserOutputs
+from neurad_tpu.engine.optimizers import NEURAD_OPTIMIZER_GROUPS, build_optimizer
+from neurad_tpu.engine.trainer import TrainState, make_train_step
+from neurad_tpu.model_components import losses as L
+from neurad_tpu.model_components.dynamic_actors import actor_data_from_trajectories, empty_actor_data
+from neurad_tpu.models.neurad import NeuRADModel
+
+
+@dataclasses.dataclass
+class ADPipelineConfig:
+    datamanager: ADDataManagerConfig = dataclasses.field(default_factory=ADDataManagerConfig)
+    model_overrides: dict = dataclasses.field(default_factory=dict)
+    optimizer_groups: dict = dataclasses.field(default_factory=lambda: dict(NEURAD_OPTIMIZER_GROUPS))
+    eval_chunk: int = 1 << 15
+    seed: int = 0
+
+
+class ADPipeline:
+    """Builds model+datamanager from dataparser outputs (`ad_pipeline.py:60-77`)."""
+
+    def __init__(self, outputs: ADDataparserOutputs, config: Optional[ADPipelineConfig] = None):
+        self.config = config or ADPipelineConfig()
+        self.outputs = outputs
+        self.datamanager = ADDataManager(outputs, self.config.datamanager, seed=self.config.seed)
+
+        actor_data = (
+            actor_data_from_trajectories(outputs.trajectories) if outputs.trajectories else empty_actor_data()
+        )
+        static_scale = float(np.abs(np.asarray(outputs.scene_box.aabb)).max())
+        model_kwargs = dict(
+            actor_data=actor_data,
+            static_scale=static_scale,
+            num_sensors=len(outputs.sensor_idx_to_name),
+            duration=outputs.duration,
+            num_train_images=len(outputs.images),
+            rgb_upsample_factor=self.config.datamanager.rgb_upsample_factor,
+        )
+        model_kwargs.update(self.config.model_overrides)
+        self.model = NeuRADModel(**model_kwargs)
+
+        self.num_cam_rays = self.datamanager.num_cam_rays
+        self.patch_size = self.datamanager.patch_shape
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> Tuple[TrainState, object]:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
+        rng, init_rng, flip_rng, state_rng = jax.random.split(rng, 4)
+        bundle, _ = self.datamanager.next_train()
+        params = self.model.init(
+            init_rng, bundle, self.patch_size, self.num_cam_rays, True, flip_rng,
+            method=NeuRADModel.get_outputs,
+        )
+        tx, opt_state = build_optimizer(params, self.config.optimizer_groups)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state, rng=state_rng)
+        return state, tx
+
+    def loss_fn(self, params, bundle: RayBundle, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        out = self.model.apply(
+            params, bundle, self.patch_size, self.num_cam_rays, True, rng, method=NeuRADModel.get_outputs
+        )
+        return self.model.apply(params, out, batch, self.num_cam_rays, method=NeuRADModel.compute_losses)
+
+    def make_train_step(self, tx):
+        return make_train_step(self.loss_fn, tx)
+
+    # ------------------------------------------------------------------
+    # evaluation (`ad_pipeline.py:145-306`)
+    # ------------------------------------------------------------------
+
+    def _chunked_nff(self, params, bundle: RayBundle, all_camera: bool) -> Dict[str, jnp.ndarray]:
+        """Chunked NFF forward over a flat bundle (`base_model.py:178-205`).
+
+        `all_camera` decides the pixel-area scaling per chunk (whole bundle is one
+        modality at eval). jit caches per (chunk-shape, all_camera).
+        """
+        if not hasattr(self, "_nff_apply"):
+            self._nff_apply = jax.jit(
+                lambda p, b, nc: self.model.apply(p, b, nc, False, None, method=NeuRADModel.get_nff_outputs),
+                static_argnums=(2,),
+            )
+        n = bundle.origins.shape[0]
+        chunk = self.config.eval_chunk
+        outs = []
+        for i in range(0, n, chunk):
+            sl = slice(i, min(i + chunk, n))
+            piece = tree_getitem(bundle, sl)
+            m = piece.origins.shape[0]
+            outs.append(self._nff_apply(params, piece, m if all_camera else 0))
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+    def render_eval_camera(self, state: TrainState, cam_idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Full-image render -> (pred rgb [H', W', 3], gt rgb) (`neurad.py:624-675`)."""
+        bundle, gt, (hs, ws) = self.datamanager.eval_camera_bundle(cam_idx)
+        nff = self._chunked_nff(state.params, bundle, all_camera=True)
+        features = nff["features"].reshape(1, hs, ws, -1)
+        rgb = self.model.apply(
+            state.params,
+            features.reshape(-1, features.shape[-1]),
+            (hs, ws),
+            hs * ws,
+            method=NeuRADModel.decode_features,
+        )[0]
+        return np.asarray(rgb[0]), gt
+
+    def render_eval_lidar(self, state: TrainState, scan_idx: int) -> Dict[str, np.ndarray]:
+        bundle, pts = self.datamanager.eval_lidar_bundle(scan_idx)
+        nff = self._chunked_nff(state.params, bundle, all_camera=False)
+        feats = nff["features"]
+        _, intensity, ray_drop = self.model.apply(
+            state.params, feats, (1, 1), 0, method=NeuRADModel.decode_features
+        )
+        return {
+            "depth": np.asarray(nff["depth"]),
+            "intensity": np.asarray(intensity),
+            "ray_drop_logits": np.asarray(ray_drop),
+            "gt_distance": np.asarray(bundle.metadata["directions_norm"]),
+            "gt_intensity": pts[:, 3:4],
+            "did_return": np.asarray(bundle.metadata["did_return"]),
+        }
+
+    def eval_metrics(self, state: TrainState) -> Dict[str, float]:
+        """PSNR/SSIM on eval cameras + lidar depth/intensity metrics
+        (`ad_pipeline.py:118-142`)."""
+        metrics: Dict[str, float] = {}
+        cams = self.outputs.eval_camera_indices
+        if cams:
+            psnrs, ssims = [], []
+            for ci in cams:
+                pred, gt = self.render_eval_camera(state, ci)
+                psnrs.append(float(L.psnr(jnp.asarray(pred), jnp.asarray(gt))))
+                ssims.append(float(L.ssim(jnp.asarray(pred), jnp.asarray(gt))))
+            metrics["psnr"] = float(np.mean(psnrs))
+            metrics["ssim"] = float(np.mean(ssims))
+        scans = self.outputs.eval_lidar_indices
+        if scans:
+            med_l2, rel_l2, int_rmse, drop_acc = [], [], [], []
+            for si in scans:
+                out = self.render_eval_lidar(state, si)
+                ret = out["did_return"][:, 0]
+                err2 = (out["depth"][ret] - out["gt_distance"][ret]) ** 2
+                med_l2.append(float(np.median(err2)))
+                rel_l2.append(float(np.mean(err2 / np.clip(out["gt_distance"][ret] ** 2, 1e-6, None))))
+                int_rmse.append(float(np.sqrt(np.mean((out["intensity"][ret] - out["gt_intensity"][ret]) ** 2))))
+                pred_drop = 1.0 / (1.0 + np.exp(-out["ray_drop_logits"][:, 0])) > 0.5
+                drop_acc.append(float(np.mean(pred_drop == ~ret)))
+            metrics["depth_median_l2"] = float(np.mean(med_l2))
+            metrics["depth_mean_rel_l2"] = float(np.mean(rel_l2))
+            metrics["intensity_rmse"] = float(np.mean(int_rmse))
+            metrics["ray_drop_accuracy"] = float(np.mean(drop_acc))
+        return metrics

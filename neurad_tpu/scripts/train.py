@@ -1,0 +1,116 @@
+"""nt-train: train a method on a dataset.
+
+TPU-native counterpart of `nerfstudio/scripts/train.py` (entrypoint 265, launch
+167). No mp.spawn / process groups: multi-chip = one process per host with a jit
+over the device mesh (`neurad_tpu/parallel/sharding.py`); multi-host adds
+`jax.distributed.initialize()` (--multihost).
+
+Usage:
+  nt-train neurad-tiny                          # synthetic scene smoke run
+  nt-train neurad --dataparser synthetic --max-iterations 1000
+  nt-train neurad --set trainer.steps_per_log=50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def _apply_override(obj, dotted: str, value: str):
+    """Set cfg.a.b.c = parsed(value) for '--set a.b.c=value'."""
+    parts = dotted.split(".")
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    cur = getattr(obj, parts[-1])
+    if isinstance(cur, bool):
+        parsed = value.lower() in ("1", "true", "yes")
+    elif isinstance(cur, int):
+        parsed = int(value)
+    elif isinstance(cur, float):
+        parsed = float(value)
+    else:
+        parsed = value
+    setattr(obj, parts[-1], parsed)
+
+
+def entrypoint(argv=None):
+    parser = argparse.ArgumentParser(description="Train a neurad_tpu method")
+    parser.add_argument("method", help="method name (e.g. neurad, neurad-tiny)")
+    parser.add_argument("--dataparser", default=None, help="dataparser name (default: method preset)")
+    parser.add_argument("--data", default=None, help="dataset root path")
+    parser.add_argument("--sequence", default=None, help="sequence id (dataset-specific)")
+    parser.add_argument("--max-iterations", type=int, default=None)
+    parser.add_argument("--output-dir", default="outputs")
+    parser.add_argument("--experiment-name", default=None)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--multihost", action="store_true", help="jax.distributed.initialize() for pods")
+    parser.add_argument("--mesh", action="store_true", help="shard ray batches over all local devices")
+    parser.add_argument("--set", action="append", default=[], metavar="PATH=VALUE", help="config override")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.multihost:
+        jax.distributed.initialize()
+
+    from neurad_tpu.configs.method_configs import get_dataparser, get_method_config
+    from neurad_tpu.engine.trainer import Trainer
+    from neurad_tpu.utils.writer import LocalWriter, TensorboardWriter, MultiWriter
+
+    cfg = get_method_config(args.method)
+    if args.max_iterations is not None:
+        cfg.trainer.max_num_iterations = args.max_iterations
+    for ov in args.set:
+        path, _, value = ov.partition("=")
+        _apply_override(cfg, path, value)
+
+    dp_kwargs = {}
+    if args.data:
+        dp_kwargs["data"] = args.data
+    if args.sequence:
+        dp_kwargs["sequence"] = args.sequence
+    dataparser = get_dataparser(args.dataparser or cfg.dataparser, **dp_kwargs)
+    outputs = dataparser.get_dataparser_outputs("train")
+
+    exp_name = args.experiment_name or f"{args.method}-{time.strftime('%Y%m%d-%H%M%S')}"
+    run_dir = Path(args.output_dir) / exp_name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    cfg.trainer.checkpoint_dir = str((run_dir / "checkpoints").absolute())
+    (run_dir / "config.json").write_text(
+        json.dumps({"method": args.method, "dataparser": args.dataparser or cfg.dataparser,
+                    "overrides": args.set, "seed": args.seed}, indent=2)
+    )
+
+    from neurad_tpu.pipelines.ad_pipeline import ADPipeline
+
+    cfg.pipeline.seed = args.seed
+    pipeline = ADPipeline(outputs, cfg.pipeline)
+    state, tx = pipeline.init_state(jax.random.PRNGKey(args.seed))
+    step_fn = pipeline.make_train_step(tx)
+    if args.mesh and len(jax.devices()) > 1:
+        from neurad_tpu.parallel.sharding import make_mesh, make_sharded_train_step
+
+        step_fn = make_sharded_train_step(step_fn, make_mesh())
+
+    writer = MultiWriter([LocalWriter(), TensorboardWriter(str(run_dir / "tb"))])
+    trainer = Trainer(
+        step_fn,
+        state,
+        pipeline.datamanager.iter_train(),
+        cfg.trainer,
+        eval_fn=pipeline.eval_metrics,
+        writer=writer,
+    )
+    print(f"[nt-train] {args.method} on {args.dataparser or cfg.dataparser}: "
+          f"{cfg.trainer.max_num_iterations} iters, {pipeline.num_cam_rays} cam rays + "
+          f"{cfg.pipeline.datamanager.num_lidar_rays} lidar rays/step, backend={jax.default_backend()}")
+    metrics = trainer.train()
+    print(f"[nt-train] done: {json.dumps(metrics)}")
+    return trainer
+
+
+if __name__ == "__main__":
+    entrypoint()
