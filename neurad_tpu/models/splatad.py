@@ -1,0 +1,446 @@
+"""SplatAD: 3D gaussian splatting for AD scenes (camera + lidar rasterization).
+
+TPU-native counterpart of `nerfstudio/models/splatad.py` (SplatADModel 283,
+config 153, camera step 871-1035, lidar step 1037-1230, losses 1356-1432,
+RGBDecoderCNN 59-91, seeding 544-689). Key TPU redesign:
+
+- Gaussian parameters are fixed-capacity flax params [cap, ...] (MCMC strategy,
+  `model_components/strategy.py`) — no tensor reallocation, every step compiles
+  once per sensor resolution.
+- Rasterization is the pure-XLA tile pipeline in `ops/gaussian_rasterize.py`
+  (differentiable by construction; no CUDA fork).
+- Actor gaussians store means in BOX frame with per-gaussian `id`; the world
+  transform + per-gaussian velocity (v + w x r) is computed densely with masks
+  (`splatad.py:835-869` uses index_select scatter).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurad_tpu.cameras.camera_optimizers import CameraOptimizer, CameraVelocityOptimizer
+from neurad_tpu.fields.mlp import MLP
+from neurad_tpu.model_components import losses as L
+from neurad_tpu.model_components.cnns import BasicBlock
+from neurad_tpu.model_components.dynamic_actors import ActorData, DynamicActors
+from neurad_tpu.model_components.strategy import MCMCStrategyConfig
+from neurad_tpu.ops import gaussian_rasterize as GR
+from neurad_tpu.ops import gaussians as G
+
+
+class RGBDecoderCNN(nn.Module):
+    """View-dependent RGB decoder (`splatad.py:59-91`): rendered features split
+    into albedo (first 3) + specular; net(spec, ray_dirs) -> (gain, offset);
+    rgb = albedo * (1 + gain) + offset."""
+
+    hidden_dim: int = 32
+    kernel_size: int = 3
+    num_hidden_blocks: int = 1
+    skip_dim: int = 3
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, ray_dirs: jnp.ndarray) -> jnp.ndarray:
+        albedo = features[..., : self.skip_dim]
+        spec = jnp.concatenate([features[..., self.skip_dim :], ray_dirs], axis=-1)
+        h = BasicBlock(self.hidden_dim, self.kernel_size, norm="none")(spec[None])[0]
+        for _ in range(self.num_hidden_blocks):
+            h = BasicBlock(self.hidden_dim, self.kernel_size, norm="none")(h[None])[0]
+        out = nn.Conv(6, (1, 1), kernel_init=nn.initializers.variance_scaling(1e-4, "fan_in", "truncated_normal"))(h)
+        return albedo * (1.0 + out[..., :3]) + out[..., 3:]
+
+
+class GaussianInit(NamedTuple):
+    """Host-side seed arrays used to initialize the gaussian params."""
+
+    means: np.ndarray  # [cap, 3] (box frame for actor gaussians)
+    scales_log: np.ndarray  # [cap, 3]
+    quats: np.ndarray  # [cap, 4] wxyz
+    features: np.ndarray  # [cap, feature_dim]
+    opacities_logit: np.ndarray  # [cap]
+    ids: np.ndarray  # [cap] int (n_actors = static)
+
+
+def seed_gaussians(
+    points: np.ndarray,
+    trajectories,
+    cap_max: int,
+    feature_dim: int = 16,
+    n_far_points: int = 30000,
+    scene_aabb: Optional[np.ndarray] = None,
+    init_opacity: float = 0.1,
+    seed: int = 0,
+) -> GaussianInit:
+    """Seed from lidar points split static/dynamic by actor boxes + far/in-box
+    random points (`splatad.py:314-329,544-689`), padded/subsampled to cap_max.
+
+    points: [N, >=4] world xyz + intensity; trajectories: dataparser dicts.
+    """
+    rng = np.random.default_rng(seed)
+    n_actors = len(trajectories)
+
+    # split by actor boxes at each trajectory timestep (approximate: first pose)
+    ids = np.full(points.shape[0], n_actors, dtype=np.int32)
+    means = points[:, :3].astype(np.float32).copy()
+    for a, traj in enumerate(trajectories):
+        pose = np.asarray(traj["poses"])[0]  # [4,4] box2world at first time
+        w2b = np.linalg.inv(pose)
+        local = points[:, :3] @ w2b[:3, :3].T + w2b[:3, 3]
+        half = np.asarray(traj["dims"]) / 2.0 + 0.25
+        inside = (np.abs(local) < half).all(-1)
+        ids[inside] = a
+        means[inside] = local[inside].astype(np.float32)
+
+    # far points on inverse-depth distribution + in-box randoms (`splatad.py:314-329`)
+    if scene_aabb is None:
+        scene_aabb = np.array([[-80, -80, -10], [80, 80, 30]], dtype=np.float32)
+    extent = scene_aabb[1] - scene_aabb[0]
+    dirs = rng.normal(size=(n_far_points, 3))
+    dirs[:, 2] = np.abs(dirs[:, 2])
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    near = min(extent[0], extent[1]) / 2
+    u = rng.uniform(size=(n_far_points, 1))
+    dist = 1.0 / (1.0 / near * (1 - u) + 1.0 / 1e4 * u)
+    far_pts = (dirs * dist).astype(np.float32)
+    close_pts = ((rng.uniform(size=(n_far_points, 3)) - 0.5) * np.array([extent[0], extent[1], 50])).astype(
+        np.float32
+    )
+    extra = np.concatenate([far_pts, close_pts])
+    means = np.concatenate([means, extra])
+    ids = np.concatenate([ids, np.full(extra.shape[0], n_actors, dtype=np.int32)])
+    intensity = np.concatenate(
+        [points[:, 3] if points.shape[1] > 3 else np.full(points.shape[0], 0.5), rng.uniform(size=extra.shape[0])]
+    )
+
+    n = means.shape[0]
+    if n >= cap_max:
+        sel = rng.choice(n, size=cap_max, replace=False)
+    else:
+        sel = np.concatenate([np.arange(n), rng.integers(0, n, size=cap_max - n)])
+    means, ids, intensity = means[sel], ids[sel], intensity[sel]
+
+    # scales: log of mean distance to 3 nearest seed points, approximated by a
+    # density heuristic (avoids a knn over millions of points at init)
+    scales = np.full((cap_max, 3), np.log(0.3), dtype=np.float32)
+    feats = np.zeros((cap_max, feature_dim), dtype=np.float32)
+    feats[:, :3] = intensity[:, None]  # gray init from intensity
+    quats = np.zeros((cap_max, 4), dtype=np.float32)
+    quats[:, 0] = 1.0
+    op = np.full(cap_max, np.log(init_opacity / (1 - init_opacity)), dtype=np.float32)
+    return GaussianInit(
+        means=means.astype(np.float32),
+        scales_log=scales,
+        quats=quats,
+        features=feats,
+        opacities_logit=op,
+        ids=ids,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SplatADConfig:
+    """Model settings (`splatad.py:153-280`)."""
+
+    feature_dim: int = 16
+    appearance_dim: int = 8
+    rgb_decoder_hidden_dim: int = 32
+    rgb_decoder_kernel_size: int = 3
+    rgb_decoder_num_hidden_blocks: int = 1
+    tile_size: int = 16
+    max_per_tile: int = 256
+    max_tiles_per_gaussian: int = 16
+    near_plane: float = 0.5
+    radius_clip_pix: float = 0.0
+    eps2d: float = 0.3
+    antialiased: bool = True
+    ssim_lambda: float = 0.2
+    depth_lambda: float = 0.1
+    intensity_lambda: float = 1.0
+    ray_drop_lambda: float = 0.1
+    line_of_sight_lambda: float = 0.1
+    depth_loss_quantile_threshold: float = 0.95
+    mcmc_scale_reg_lambda: float = 0.01
+    mcmc_opacity_reg_lambda: float = 0.01
+    compensate_rs_camera: bool = True
+    lidar_elev_range: Tuple[float, float] = (-26.0, 16.0)
+    lidar_tile_azim: float = 2.0
+    lidar_tile_elev: float = 2.0
+    lidar_max_per_tile: int = 128
+
+
+class SplatADModel(nn.Module):
+    """The SplatAD model. Gaussian params live as flax params (fixed cap)."""
+
+    init_data: GaussianInit
+    actor_data: ActorData
+    config: SplatADConfig = SplatADConfig()
+    mcmc: MCMCStrategyConfig = MCMCStrategyConfig()
+    num_sensors: int = 1
+    num_train_images: int = 1
+    camera_opt_mode: str = "off"
+    velocity_opt_enabled: bool = False
+
+    def setup(self):
+        init = self.init_data
+        self.means = self.param("means", lambda _: jnp.asarray(init.means))
+        self.scales = self.param("scales", lambda _: jnp.asarray(init.scales_log))
+        self.quats = self.param("quats", lambda _: jnp.asarray(init.quats))
+        self.features = self.param("features", lambda _: jnp.asarray(init.features))
+        self.opacities = self.param("opacities", lambda _: jnp.asarray(init.opacities_logit))
+        self.gauss_ids = jnp.asarray(init.ids)
+
+        self.actors = DynamicActors(data=self.actor_data)
+        self.camera_optimizer = CameraOptimizer(num_cameras=self.num_train_images, mode=self.camera_opt_mode)
+        self.camera_velocity_optimizer = CameraVelocityOptimizer(
+            num_cameras=self.num_train_images,
+            num_unique_cameras=self.num_sensors,
+            enabled=self.velocity_opt_enabled,
+        )
+        self.rgb_decoder = RGBDecoderCNN(
+            hidden_dim=self.config.rgb_decoder_hidden_dim,
+            kernel_size=self.config.rgb_decoder_kernel_size,
+            num_hidden_blocks=self.config.rgb_decoder_num_hidden_blocks,
+        )
+        self.lidar_decoder = MLP(out_dim=2, num_layers=3, layer_width=32)
+        self.appearance_embedding = nn.Embed(self.num_sensors, self.config.appearance_dim)
+
+    @property
+    def n_actors(self) -> int:
+        return self.actor_data.n_actors
+
+    # ------------------------------------------------------------------
+
+    def _actor_adjusted_means(self, time: jnp.ndarray):
+        """World-frame means + velocities for all gaussians at `time`
+        (`splatad.py:835-869`), dense/masked."""
+        means = self.means
+        if self.n_actors == 0:
+            return means, jnp.zeros_like(means)
+        b2w, _ = self.actors.get_boxes2world(time.reshape(1))  # [1, A, 4, 4]
+        b2w = b2w[0]
+        vels6 = self.actors.get_velocities(time.reshape(1))[0]  # [A, 6]
+        ids = jnp.clip(self.gauss_ids, 0, self.n_actors - 1)
+        is_actor = self.gauss_ids < self.n_actors
+
+        rot = b2w[ids][:, :3, :3]  # [N, 3, 3]
+        trans = b2w[ids][:, :3, 3]
+        world_means = jnp.einsum("nij,nj->ni", rot, means) + trans
+        r_world = jnp.einsum("nij,nj->ni", rot, means)  # offset from box center, world frame
+        lin = vels6[ids][:, :3]
+        ang = vels6[ids][:, 3:]
+        ang_world = jnp.einsum("nij,nj->ni", rot, ang)
+        vel = lin + jnp.cross(ang_world, r_world)
+
+        means_out = jnp.where(is_actor[:, None], world_means, means)
+        vels_out = jnp.where(is_actor[:, None], vel, jnp.zeros_like(vel))
+        return means_out, vels_out
+
+    def get_camera_outputs(
+        self,
+        c2w_opengl: jnp.ndarray,  # [3, 4]
+        K: jnp.ndarray,  # [3, 3]
+        width: int,
+        height: int,
+        time: jnp.ndarray,  # []
+        sensor_idx: jnp.ndarray,  # [] int
+        cam_idx: jnp.ndarray,  # [] int (per-image index, for optimizers)
+        cam_linear_vel: Optional[jnp.ndarray] = None,  # [3] world frame
+        cam_angular_vel: Optional[jnp.ndarray] = None,  # [3] local frame
+        rolling_shutter_time: float = 0.0,
+        time_to_center_pixel: float = 0.0,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Camera render (`splatad.py:871-1035`)."""
+        cfg = self.config
+        c2w = self.camera_optimizer.apply_to_camera_pose(c2w_opengl[None], cam_idx)[0]
+
+        # RS velocity optimization + center-pixel time shift (`splatad.py:918-962`)
+        lin_vel = cam_linear_vel if cam_linear_vel is not None else jnp.zeros(3)
+        ang_vel = cam_angular_vel if cam_angular_vel is not None else jnp.zeros(3)
+        if self.velocity_opt_enabled:
+            lin_vel = self.camera_velocity_optimizer.get_linear_velocity(lin_vel[None], cam_idx.reshape(1))[0]
+            ang_vel = self.camera_velocity_optimizer.get_angular_velocity(ang_vel[None], cam_idx.reshape(1))[0]
+            time_to_center_pixel = time_to_center_pixel + self.camera_velocity_optimizer.get_time_to_center_pixel_adjustment(
+                sensor_idx.reshape(1)
+            )[0]
+        c2w = c2w.at[:3, 3].add(lin_vel * time_to_center_pixel)
+        cam_time = time + time_to_center_pixel
+
+        # OpenGL c2w -> OpenCV world->camera viewmat (gsplat get_viewmat)
+        flip = jnp.diag(jnp.array([1.0, -1.0, -1.0]))
+        r_cv = c2w[:3, :3] @ flip  # camera axes in world, OpenCV convention
+        r_wc = r_cv.T
+        t_wc = -r_wc @ c2w[:3, 3]
+        viewmat = jnp.eye(4).at[:3, :3].set(r_wc).at[:3, 3].set(t_wc)
+
+        # camera-frame velocities with y/z flip (`splatad.py:958-962`)
+        lin_vel_cam = (c2w[:3, :3].T @ lin_vel) * jnp.array([1.0, -1.0, -1.0])
+        ang_vel_cam = ang_vel * jnp.array([1.0, -1.0, -1.0])
+
+        means, vels = self._actor_adjusted_means(cam_time)
+        covars = G.quat_scale_to_covariance(self.quats, jnp.exp(self.scales))
+        proj = G.project_gaussians_camera(
+            means,
+            covars,
+            viewmat,
+            K,
+            width,
+            height,
+            velocities=vels,
+            camera_linear_velocity=lin_vel_cam,
+            camera_angular_velocity=ang_vel_cam,
+            near_plane=cfg.near_plane,
+            eps2d=cfg.eps2d,
+            radius_clip=cfg.radius_clip_pix,
+            antialiased=cfg.antialiased,
+        )
+        feat_img, depth_img, alpha_img = GR.rasterize_camera(
+            proj,
+            self.features,
+            jax.nn.sigmoid(self.opacities),
+            width,
+            height,
+            tile_size=cfg.tile_size,
+            max_per_tile=cfg.max_per_tile,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            rolling_shutter_time=rolling_shutter_time,
+        )
+
+        ray_dirs = self._ray_dirs(K, width, height, c2w)
+        appearance = self.appearance_embedding(sensor_idx.reshape(1))[0]
+        app_img = jnp.broadcast_to(appearance, feat_img.shape[:-1] + (appearance.shape[-1],))
+        rgb = self.rgb_decoder(jnp.concatenate([feat_img, app_img], axis=-1), ray_dirs)
+        background = jnp.array([0.1490, 0.1647, 0.2157])
+        rgb = jnp.clip(rgb + (1.0 - alpha_img) * background, 0.0, 1.0)
+        depth_img = jnp.where(alpha_img > 0, depth_img, jax.lax.stop_gradient(depth_img).max())
+        return {"rgb": rgb, "depth": depth_img, "accumulation": alpha_img, "background": background}
+
+    def get_lidar_outputs(
+        self,
+        l2w: jnp.ndarray,  # [3, 4]
+        raster_pts: jnp.ndarray,  # [M, 5] (azim, elev, depth, time, intensity)
+        time: jnp.ndarray,
+        sensor_idx: jnp.ndarray,
+        lidar_linear_vel: Optional[jnp.ndarray] = None,
+        lidar_angular_vel: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Lidar render at spherical query points (`splatad.py:1037-1230`)."""
+        cfg = self.config
+        means, vels = self._actor_adjusted_means(time)
+        covars = G.quat_scale_to_covariance(self.quats, jnp.exp(self.scales))
+        r_wl = l2w[:3, :3].T
+        viewmat = jnp.eye(4).at[:3, :3].set(r_wl).at[:3, 3].set(-r_wl @ l2w[:3, 3])
+        lin = l2w[:3, :3].T @ (lidar_linear_vel if lidar_linear_vel is not None else jnp.zeros(3))
+        ang = lidar_angular_vel if lidar_angular_vel is not None else jnp.zeros(3)
+        proj = G.project_gaussians_lidar(
+            means, covars, viewmat, velocities=vels, lidar_linear_velocity=lin, lidar_angular_velocity=ang
+        )
+        out = GR.rasterize_lidar_points(
+            proj,
+            self.features,
+            jax.nn.sigmoid(self.opacities),
+            raster_pts[:, :4],
+            elev_range=cfg.lidar_elev_range,
+            tile_size_azim=cfg.lidar_tile_azim,
+            tile_size_elev=cfg.lidar_tile_elev,
+            max_per_tile=cfg.lidar_max_per_tile,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        )
+        azim = jnp.deg2rad(raster_pts[:, 0])
+        elev = jnp.deg2rad(raster_pts[:, 1])
+        dirs = jnp.stack(
+            [jnp.cos(elev) * jnp.cos(azim), jnp.cos(elev) * jnp.sin(azim), jnp.sin(elev)], axis=-1
+        )
+        appearance = jnp.broadcast_to(
+            self.appearance_embedding(sensor_idx.reshape(1))[0], (dirs.shape[0], self.config.appearance_dim)
+        )
+        dec_in = jnp.concatenate([out["features"], appearance, dirs], axis=-1)
+        dec = self.lidar_decoder(dec_in)
+        out["intensity"] = jax.nn.sigmoid(dec[..., :1])
+        out["ray_drop_logits"] = dec[..., 1:]
+        return out
+
+    def _ray_dirs(self, K: jnp.ndarray, width: int, height: int, c2w: jnp.ndarray) -> jnp.ndarray:
+        """Unit view dirs per pixel [H, W, 3] (`splatad.py` get_ray_dirs_pinhole)."""
+        ys, xs = jnp.meshgrid(jnp.arange(height) + 0.5, jnp.arange(width) + 0.5, indexing="ij")
+        d = jnp.stack(
+            [(xs - K[0, 2]) / K[0, 0], -(ys - K[1, 2]) / K[1, 1], -jnp.ones_like(xs)], axis=-1
+        )
+        d = d @ c2w[:3, :3].T
+        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    # ------------------------------------------------------------------
+    # losses (`splatad.py:1356-1432`)
+    # ------------------------------------------------------------------
+
+    def camera_loss(self, outputs: Dict[str, jnp.ndarray], gt_image: jnp.ndarray) -> Tuple[jnp.ndarray, Dict]:
+        cfg = self.config
+        pred = outputs["rgb"]
+        l1 = jnp.mean(jnp.abs(gt_image - pred))
+        ssim_val = L.ssim(pred, gt_image)
+        main = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * (1.0 - ssim_val)
+        reg = self._mcmc_regs()
+        metrics = {
+            "main_loss": main,
+            "psnr": L.psnr(jax.lax.stop_gradient(pred), gt_image),
+            "ssim": jax.lax.stop_gradient(ssim_val),
+            **reg,
+        }
+        total = main + reg["mcmc_scale_reg"] + reg["mcmc_opacity_reg"] + self.camera_optimizer.regularization_loss()
+        total = total + self.camera_velocity_optimizer.regularization_loss()
+        return total, metrics
+
+    def lidar_loss(
+        self, outputs: Dict[str, jnp.ndarray], raster_pts: jnp.ndarray, did_return: jnp.ndarray, valid: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, Dict]:
+        """raster_pts [M,5]; did_return/valid [M] bools."""
+        cfg = self.config
+        ret = valid & did_return
+        depth = outputs["depth"][:, 0]
+        gt_depth = raster_pts[:, 2]
+        unred = jnp.abs(depth - gt_depth)
+        quantile = L.masked_quantile(unred, ret, cfg.depth_loss_quantile_threshold)
+        qmask = ret & (unred < quantile)
+
+        depth_loss = cfg.depth_lambda * L.masked_mean(unred, qmask)
+        intensity = outputs["intensity"][:, 0]
+        gt_int = raster_pts[:, 4]
+        intensity_loss = cfg.intensity_lambda * L.masked_mean((intensity - gt_int) ** 2, qmask)
+
+        logits = outputs["ray_drop_logits"][:, 0]
+        logits = jnp.where(valid, logits, -10_000.0)
+        targets = (~did_return).astype(logits.dtype)
+        bce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        ray_drop_loss = cfg.ray_drop_lambda * jnp.mean(bce)
+
+        los = cfg.line_of_sight_lambda * L.masked_mean(outputs["alpha_sum_until_points"][:, 0], qmask)
+
+        reg = self._mcmc_regs()
+        total = depth_loss + intensity_loss + ray_drop_loss + los + reg["mcmc_scale_reg"] + reg["mcmc_opacity_reg"]
+        rel = ((depth - gt_depth) / jnp.clip(gt_depth, 1e-6, None)) ** 2
+        metrics = {
+            "depth_loss": depth_loss,
+            "intensity_loss": intensity_loss,
+            "ray_drop_loss": ray_drop_loss,
+            "line_of_sight_loss": los,
+            "depth_median_l2": L.masked_quantile((depth - gt_depth) ** 2, ret, 0.5),
+            "depth_mean_rel_l2": L.masked_mean(rel, ret),
+            "ray_drop_accuracy": L.masked_mean(
+                ((jax.nn.sigmoid(logits) > 0.5) == ~did_return).astype(jnp.float32), valid
+            ),
+            **reg,
+        }
+        return total, metrics
+
+    def _mcmc_regs(self) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        return {
+            "mcmc_scale_reg": cfg.mcmc_scale_reg_lambda * jnp.abs(jnp.exp(self.scales).mean()),
+            "mcmc_opacity_reg": cfg.mcmc_opacity_reg_lambda * jnp.abs(jax.nn.sigmoid(self.opacities).mean()),
+        }

@@ -1,0 +1,336 @@
+"""Tile-binned gaussian rasterization (camera pixels + lidar query points).
+
+TPU-native replacement for the gsplat fork's CUDA rasterizers
+(`rasterization` at `nerfstudio/models/splatad.py:977-1003`,
+`lidar_rasterization` at 1135-1166). Design:
+
+- STATIC shapes throughout: every gaussian emits exactly `max_tiles_per_gaussian`
+  (tile, gaussian) pairs (sentinel tile for non-covered slots), pairs are
+  depth-ordered globally then STABLE-sorted by tile id — within a tile, pairs
+  remain front-to-back. Each tile keeps its first `max_per_tile` gaussians.
+- Alpha compositing is an exclusive cumprod of (1 - alpha) along the per-tile
+  list — a vectorized prefix product over [tiles, pixels, K] instead of CUDA's
+  sequential per-pixel loop with early exit. Tiles are processed in chunks via
+  `lax.map` to bound live memory; `jax.checkpoint` keeps the backward from
+  materializing all chunks at once.
+- Rolling shutter: each pixel has a time offset; gaussian screen centers move by
+  `vel2d * t_pix` (the fork warps identically per `splatad.py:918-1003`).
+- Fully differentiable by construction (autodiff through cumprod) — no custom
+  VJP needed for correctness; a Pallas forward/backward pair can swap in later
+  for speed-of-light.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neurad_tpu.ops.gaussians import Projected
+
+
+class TileBinning(NamedTuple):
+    tile_gauss: jnp.ndarray  # [T, K] gaussian indices (front-to-back)
+    tile_valid: jnp.ndarray  # [T, K] bool
+    num_tiles_x: int
+    num_tiles_y: int
+
+
+def bin_gaussians(
+    means2d: jnp.ndarray,
+    radii: jnp.ndarray,
+    depths: jnp.ndarray,
+    grid_min: Tuple[float, float],
+    tile_size: Tuple[float, float],
+    num_tiles: Tuple[int, int],
+    max_tiles_per_gaussian: int = 16,
+    max_per_tile: int = 256,
+) -> TileBinning:
+    """Assign gaussians to tiles, depth-ordered per tile.
+
+    Works in any 2D coordinate system (pixels or spherical degrees): tile (i, j)
+    covers [grid_min + (j, i)*tile_size, +tile_size).
+    """
+    ntx, nty = num_tiles
+    t_total = ntx * nty
+    n = means2d.shape[0]
+    c = max_tiles_per_gaussian
+
+    # depth order (front to back); invalid gaussians (radius 0) pushed to the back
+    order = jnp.argsort(jnp.where(radii > 0, depths, jnp.inf))
+    m2 = means2d[order]
+    rad = radii[order]
+    valid_g = rad > 0
+
+    # covered tile range per gaussian
+    x0 = jnp.floor((m2[:, 0] - rad - grid_min[0]) / tile_size[0]).astype(jnp.int32)
+    x1 = jnp.floor((m2[:, 0] + rad - grid_min[0]) / tile_size[0]).astype(jnp.int32)
+    y0 = jnp.floor((m2[:, 1] - rad - grid_min[1]) / tile_size[1]).astype(jnp.int32)
+    y1 = jnp.floor((m2[:, 1] + rad - grid_min[1]) / tile_size[1]).astype(jnp.int32)
+    x0 = jnp.clip(x0, 0, ntx - 1)
+    x1 = jnp.clip(x1, 0, ntx - 1)
+    y0 = jnp.clip(y0, 0, nty - 1)
+    y1 = jnp.clip(y1, 0, nty - 1)
+    wx = x1 - x0 + 1
+    wy = y1 - y0 + 1
+
+    # Cap the covered rect at C tiles, recentered on the gaussian: oversized
+    # gaussians keep their central tiles instead of a row-major corner slice.
+    cx = jnp.clip(jnp.floor((m2[:, 0] - grid_min[0]) / tile_size[0]).astype(jnp.int32), 0, ntx - 1)
+    cy = jnp.clip(jnp.floor((m2[:, 1] - grid_min[1]) / tile_size[1]).astype(jnp.int32), 0, nty - 1)
+    wx_c = jnp.minimum(wx, c)
+    wy_c = jnp.minimum(wy, jnp.maximum(c // jnp.clip(wx_c, 1, None), 1))
+    x0 = jnp.clip(cx - wx_c // 2, x0, x1 - wx_c + 1)
+    y0 = jnp.clip(cy - wy_c // 2, y0, y1 - wy_c + 1)
+    wx, wy = wx_c, wy_c
+
+    # emit up to C tile slots per gaussian (row-major over the covered rect)
+    slot = jnp.arange(c, dtype=jnp.int32)  # [C]
+    sx = slot[None, :] % jnp.clip(wx, 1, None)[:, None]
+    sy = slot[None, :] // jnp.clip(wx, 1, None)[:, None]
+    tile_x = x0[:, None] + sx
+    tile_y = y0[:, None] + sy
+    in_rect = (slot[None, :] < (wx * wy)[:, None]) & valid_g[:, None]
+    tile_id = jnp.where(in_rect, tile_y * ntx + tile_x, t_total)  # sentinel = t_total
+
+    flat_tiles = tile_id.reshape(-1)  # [N*C], depth-ordered within equal tiles
+    flat_gauss = jnp.broadcast_to(order[:, None], (n, c)).reshape(-1)
+
+    sort_idx = jnp.argsort(flat_tiles, stable=True)
+    sorted_tiles = flat_tiles[sort_idx]
+    sorted_gauss = flat_gauss[sort_idx]
+
+    # per-tile segment [start, end)
+    tile_range = jnp.arange(t_total, dtype=flat_tiles.dtype)
+    starts = jnp.searchsorted(sorted_tiles, tile_range, side="left")
+    ends = jnp.searchsorted(sorted_tiles, tile_range, side="right")
+
+    k = max_per_tile
+    gather_idx = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]  # [T, K]
+    tile_valid = gather_idx < ends[:, None]
+    gather_idx = jnp.clip(gather_idx, 0, sorted_gauss.shape[0] - 1)
+    tile_gauss = sorted_gauss[gather_idx]
+    return TileBinning(tile_gauss=tile_gauss, tile_valid=tile_valid, num_tiles_x=ntx, num_tiles_y=nty)
+
+
+def _composite(
+    pix_coords: jnp.ndarray,  # [T_chunk, P, 2]
+    pix_times: Optional[jnp.ndarray],  # [T_chunk, P] or None
+    g_means: jnp.ndarray,  # [T_chunk, K, 2]
+    g_vel2d: jnp.ndarray,  # [T_chunk, K, 2]
+    g_conics: jnp.ndarray,  # [T_chunk, K, 3]
+    g_opac: jnp.ndarray,  # [T_chunk, K]
+    g_feat: jnp.ndarray,  # [T_chunk, K, C]
+    g_depth: jnp.ndarray,  # [T_chunk, K]
+    g_depth_vel: jnp.ndarray,  # [T_chunk, K]
+    valid: jnp.ndarray,  # [T_chunk, K]
+    alpha_threshold: float = 1.0 / 255.0,
+):
+    """Front-to-back alpha compositing of per-tile gaussian lists."""
+    means = g_means[:, None, :, :]  # [T, 1, K, 2]
+    if pix_times is not None:
+        means = means + g_vel2d[:, None, :, :] * pix_times[..., None, None]
+    d = pix_coords[:, :, None, :] - means  # [T, P, K, 2]
+    a, b, cc = g_conics[..., 0], g_conics[..., 1], g_conics[..., 2]
+    sigma = 0.5 * (
+        a[:, None, :] * d[..., 0] ** 2 + cc[:, None, :] * d[..., 1] ** 2
+    ) + b[:, None, :] * d[..., 0] * d[..., 1]
+    alpha = g_opac[:, None, :] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0))  # [T, P, K]
+    alpha = jnp.clip(alpha, 0.0, 0.999)
+    alpha = jnp.where(valid[:, None, :] & (alpha >= alpha_threshold), alpha, 0.0)
+
+    one_minus = 1.0 - alpha
+    # exclusive cumprod: transmittance before each gaussian
+    trans = jnp.concatenate(
+        [jnp.ones_like(one_minus[..., :1]), jnp.cumprod(one_minus, axis=-1)[..., :-1]], axis=-1
+    )
+    w = alpha * trans  # [T, P, K]
+
+    feat_out = jnp.einsum("tpk,tkc->tpc", w, g_feat)
+    depth = g_depth[:, None, :]
+    if pix_times is not None:
+        depth = depth + g_depth_vel[:, None, :] * pix_times[..., None]
+    depth_out = jnp.sum(w * depth, axis=-1, keepdims=True)
+    alpha_out = jnp.sum(w, axis=-1, keepdims=True)
+    return feat_out, depth_out, alpha_out, w
+
+
+def rasterize_camera(
+    projected: Projected,
+    features: jnp.ndarray,
+    opacities: jnp.ndarray,
+    width: int,
+    height: int,
+    tile_size: int = 16,
+    max_per_tile: int = 256,
+    max_tiles_per_gaussian: int = 16,
+    rolling_shutter_time: float = 0.0,
+    rs_direction: str = "vertical",
+    tile_chunk: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Rasterize projected gaussians to (features [H,W,C], depth [H,W,1],
+    alpha [H,W,1]). gsplat-`rasterization` equivalent (render_mode RGB+ED)."""
+    ntx = -(-width // tile_size)
+    nty = -(-height // tile_size)
+    binning = bin_gaussians(
+        projected.means2d,
+        projected.radii,
+        projected.depths,
+        grid_min=(0.0, 0.0),
+        tile_size=(float(tile_size), float(tile_size)),
+        num_tiles=(ntx, nty),
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        max_per_tile=max_per_tile,
+    )
+    t_total = ntx * nty
+    p = tile_size * tile_size
+
+    # per-tile pixel coords (+ rolling-shutter per-pixel times)
+    tile_ids = jnp.arange(t_total, dtype=jnp.int32)
+    tx = (tile_ids % ntx).astype(jnp.float32) * tile_size
+    ty = (tile_ids // ntx).astype(jnp.float32) * tile_size
+    py, px = jnp.meshgrid(jnp.arange(tile_size), jnp.arange(tile_size), indexing="ij")
+    local = jnp.stack([px.reshape(-1) + 0.5, py.reshape(-1) + 0.5], axis=-1)  # [P, 2]
+    pix = jnp.stack([tx, ty], axis=-1)[:, None, :] + local[None, :, :]  # [T, P, 2]
+
+    if rolling_shutter_time != 0.0:
+        if rs_direction == "vertical":
+            frac = pix[..., 1] / float(height)
+        else:
+            frac = pix[..., 0] / float(width)
+        pix_times = (frac - 0.5) * rolling_shutter_time  # [T, P]
+    else:
+        pix_times = jnp.zeros(pix.shape[:-1])
+
+    opac = opacities * projected.compensations
+
+    def chunk_fn(args):
+        tg, tv, pc, pt = args
+        return _composite(
+            pc,
+            pt,
+            projected.means2d[tg],
+            projected.vel2d[tg],
+            projected.conics[tg],
+            opac[tg],
+            features[tg],
+            projected.depths[tg],
+            projected.depth_vel[tg],
+            tv,
+        )[:3]
+
+    # pad tiles to a multiple of tile_chunk and map over chunks
+    pad = (-t_total) % tile_chunk
+    def padded(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0) if pad else x
+
+    tg = padded(binning.tile_gauss).reshape(-1, tile_chunk, max_per_tile)
+    tv = padded(binning.tile_valid).reshape(-1, tile_chunk, max_per_tile)
+    pc = padded(pix).reshape(-1, tile_chunk, p, 2)
+    pt = padded(pix_times).reshape(-1, tile_chunk, p)
+
+    feat, depth, alpha = jax.lax.map(jax.checkpoint(chunk_fn), (tg, tv, pc, pt))
+    cdim = features.shape[-1]
+
+    def to_image(x, c):
+        x = x.reshape(-1, p, c)[:t_total]  # [T, P, C]
+        x = x.reshape(nty, ntx, tile_size, tile_size, c)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(nty * tile_size, ntx * tile_size, c)
+        return x[:height, :width]
+
+    return to_image(feat, cdim), to_image(depth, 1), to_image(alpha, 1)
+
+
+def rasterize_lidar_points(
+    projected: Projected,
+    features: jnp.ndarray,
+    opacities: jnp.ndarray,
+    raster_pts: jnp.ndarray,
+    azim_range: Tuple[float, float] = (-180.0, 180.0),
+    elev_range: Tuple[float, float] = (-25.0, 15.0),
+    tile_size_azim: float = 2.0,
+    tile_size_elev: float = 2.0,
+    max_per_tile: int = 128,
+    max_tiles_per_gaussian: int = 16,
+    compute_alpha_sum_until_points: bool = True,
+    depth_eps: float = 0.4,
+    point_chunk: int = 4096,
+) -> dict:
+    """Rasterize gaussians at arbitrary spherical query points (gsplat fork
+    `lidar_rasterization`, `splatad.py:1135-1166`).
+
+    raster_pts: [M, 4] (azim_deg, elev_deg, gt_depth, time). Returns per-point
+    features/depth/alpha (+ alpha accumulated strictly in front of the gt depth,
+    the line-of-sight loss input, and median depth).
+    """
+    ntx = max(1, int(-(-(azim_range[1] - azim_range[0]) // tile_size_azim)))
+    nty = max(1, int(-(-(elev_range[1] - elev_range[0]) // tile_size_elev)))
+    binning = bin_gaussians(
+        projected.means2d,
+        projected.radii,
+        projected.depths,
+        grid_min=(azim_range[0], elev_range[0]),
+        tile_size=(tile_size_azim, tile_size_elev),
+        num_tiles=(ntx, nty),
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        max_per_tile=max_per_tile,
+    )
+
+    m = raster_pts.shape[0]
+    k = max_per_tile
+    # tile of each query point
+    qx = jnp.clip(((raster_pts[:, 0] - azim_range[0]) // tile_size_azim).astype(jnp.int32), 0, ntx - 1)
+    qy = jnp.clip(((raster_pts[:, 1] - elev_range[0]) // tile_size_elev).astype(jnp.int32), 0, nty - 1)
+    q_tile = qy * ntx + qx  # [M]
+
+    opac = opacities * projected.compensations
+
+    def chunk_fn(args):
+        pts, tile_idx = args  # [mc, 4], [mc]
+        tg = binning.tile_gauss[tile_idx]  # [mc, K]
+        tv = binning.tile_valid[tile_idx]
+        means = projected.means2d[tg] + projected.vel2d[tg] * pts[:, None, 3:4]  # RS warp
+        d = pts[:, None, :2] - means
+        con = projected.conics[tg]
+        sigma = 0.5 * (con[..., 0] * d[..., 0] ** 2 + con[..., 2] * d[..., 1] ** 2) + con[..., 1] * d[..., 0] * d[..., 1]
+        alpha = jnp.clip(opac[tg] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0)), 0.0, 0.999)
+        alpha = jnp.where(tv & (alpha >= 1.0 / 255.0), alpha, 0.0)
+        one_minus = 1.0 - alpha
+        trans = jnp.concatenate(
+            [jnp.ones_like(one_minus[..., :1]), jnp.cumprod(one_minus, axis=-1)[..., :-1]], axis=-1
+        )
+        w = alpha * trans  # [mc, K]
+        g_depth = projected.depths[tg] + projected.depth_vel[tg] * pts[:, None, 3]
+        feat = jnp.einsum("mk,mkc->mc", w, features[tg])
+        depth = jnp.sum(w * g_depth, axis=-1, keepdims=True)
+        acc = jnp.sum(w, axis=-1, keepdims=True)
+        # median depth: first gaussian where accumulated weight crosses half the total
+        cum_w = jnp.cumsum(w, axis=-1)
+        med_idx = jnp.argmax(cum_w >= 0.5 * acc, axis=-1)
+        median_depth = jnp.take_along_axis(g_depth, med_idx[:, None], axis=-1)
+        if compute_alpha_sum_until_points:
+            before = g_depth < (pts[:, None, 2] - depth_eps)
+            alpha_until = jnp.sum(jnp.where(before, w, 0.0), axis=-1, keepdims=True)
+        else:
+            alpha_until = jnp.zeros_like(acc)
+        return feat, depth, acc, alpha_until, median_depth
+
+    pad = (-m) % point_chunk
+    pts_p = jnp.concatenate([raster_pts, jnp.zeros((pad, raster_pts.shape[1]))]) if pad else raster_pts
+    tile_p = jnp.concatenate([q_tile, jnp.zeros(pad, q_tile.dtype)]) if pad else q_tile
+    n_chunks = pts_p.shape[0] // point_chunk
+
+    feat, depth, acc, alpha_until, med = jax.lax.map(
+        jax.checkpoint(chunk_fn),
+        (pts_p.reshape(n_chunks, point_chunk, -1), tile_p.reshape(n_chunks, point_chunk)),
+    )
+    cdim = features.shape[-1]
+    return {
+        "features": feat.reshape(-1, cdim)[:m],
+        "depth": depth.reshape(-1, 1)[:m],
+        "alpha": acc.reshape(-1, 1)[:m],
+        "alpha_sum_until_points": alpha_until.reshape(-1, 1)[:m],
+        "median_depth": med.reshape(-1, 1)[:m],
+    }

@@ -1,0 +1,196 @@
+"""SplatAD model tests: seeding, camera/lidar forward, losses, MCMC strategy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurad_tpu.model_components.dynamic_actors import actor_data_from_trajectories, empty_actor_data
+from neurad_tpu.model_components.strategy import (
+    MCMCStrategyConfig,
+    compute_relocation,
+    mcmc_add_noise,
+    mcmc_relocate,
+    should_refine,
+)
+from neurad_tpu.models.splatad import GaussianInit, SplatADConfig, SplatADModel, seed_gaussians
+
+CAP = 512
+CFG = SplatADConfig(feature_dim=8, appearance_dim=4, max_per_tile=64, lidar_max_per_tile=32)
+
+
+def _traj():
+    poses = np.broadcast_to(np.eye(4, dtype=np.float32), (2, 4, 4)).copy()
+    poses[:, :3, 3] = [10.0, 2.0, 1.0]
+    return {
+        "poses": poses,
+        "timestamps": np.array([0.0, 10.0]),
+        "dims": np.array([2.0, 4.0, 1.5]),
+        "symmetric": True,
+        "deformable": False,
+        "linear_velocities_global": np.tile(np.array([[3.0, 0.0, 0.0]], dtype=np.float32), (2, 1)),
+        "angular_velocities_local": np.zeros((2, 3), dtype=np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [rng.normal(size=(500, 3)) * 15, rng.uniform(size=(500, 1))], axis=-1
+    ).astype(np.float32)
+    # some points inside the actor box
+    pts[:50, :3] = np.array([10.0, 2.0, 1.0]) + rng.normal(size=(50, 3)) * 0.3
+    trajs = [_traj()]
+    init = seed_gaussians(pts, trajs, CAP, feature_dim=8, n_far_points=100)
+    model = SplatADModel(
+        init_data=init,
+        actor_data=actor_data_from_trajectories(trajs),
+        config=CFG,
+        num_sensors=2,
+        num_train_images=4,
+    )
+    K = jnp.array([[40.0, 0.0, 24.0], [0.0, 40.0, 16.0], [0.0, 0.0, 1.0]])
+    c2w = jnp.asarray(
+        np.array([[0, 0, -1, 0], [-1, 0, 0, 0], [0, 1, 0, 1.5]], dtype=np.float32)
+    )  # looking along +x
+    params = model.init(
+        jax.random.PRNGKey(0), c2w, K, 48, 32, jnp.array(1.0), jnp.array(0), jnp.array(0),
+        method=SplatADModel.get_camera_outputs,
+    )
+    return model, params, c2w, K
+
+
+def test_seeding_splits_actors():
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([rng.normal(size=(200, 3)) * 20, rng.uniform(size=(200, 1))], -1).astype(np.float32)
+    pts[:30, :3] = np.array([10.0, 2.0, 1.0]) + rng.normal(size=(30, 3)) * 0.2
+    init = seed_gaussians(pts, [_traj()], 256, feature_dim=8, n_far_points=50)
+    assert init.means.shape == (256, 3)
+    assert (init.ids == 0).sum() > 0  # some actor gaussians
+    assert (init.ids == 1).sum() > 0  # static
+    # actor gaussians are in box frame (near origin)
+    actor_means = init.means[init.ids == 0]
+    assert np.abs(actor_means).max() < 3.0
+
+
+def test_camera_forward(model_and_params):
+    model, params, c2w, K = model_and_params
+    out = model.apply(
+        params, c2w, K, 48, 32, jnp.array(1.0), jnp.array(0), jnp.array(0),
+        method=SplatADModel.get_camera_outputs,
+    )
+    assert out["rgb"].shape == (32, 48, 3)
+    assert out["depth"].shape == (32, 48, 1)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert float(out["accumulation"].max()) > 0.1  # something rendered
+
+
+def test_camera_loss_and_grads(model_and_params):
+    model, params, c2w, K = model_and_params
+    # anisotropic scales: with the isotropic init, rotation (quat) gradients are
+    # legitimately zero, so perturb scales to exercise that path
+    rng = np.random.default_rng(7)
+    scales = params["params"]["scales"] + jnp.asarray(
+        rng.normal(size=params["params"]["scales"].shape).astype(np.float32) * 0.3
+    )
+    params = {"params": {**params["params"], "scales": scales}}
+    gt = jnp.full((32, 48, 3), 0.5)
+
+    def loss_fn(p):
+        out = model.apply(
+            p, c2w, K, 48, 32, jnp.array(1.0), jnp.array(0), jnp.array(0), train=True,
+            method=SplatADModel.get_camera_outputs,
+        )
+        total, metrics = model.apply(p, out, gt, method=SplatADModel.camera_loss)
+        return total, metrics
+
+    (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    g = grads["params"]
+    for name in ["means", "scales", "quats", "features", "opacities"]:
+        assert float(jnp.abs(g[name]).sum()) > 0, f"no grad to {name}"
+    assert "psnr" in metrics and "ssim" in metrics
+
+
+def test_lidar_forward_and_loss(model_and_params):
+    model, params, _, _ = model_and_params
+    l2w = jnp.eye(4)[:3]
+    m = 64
+    rng = np.random.default_rng(1)
+    raster_pts = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-180, 180, m),
+                rng.uniform(-20, 10, m),
+                rng.uniform(3, 40, m),
+                np.zeros(m),
+                rng.uniform(0, 1, m),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    did_return = jnp.asarray(rng.uniform(size=m) > 0.2)
+    valid = jnp.ones(m, dtype=bool)
+
+    def loss_fn(p):
+        out = model.apply(
+            p, l2w, raster_pts, jnp.array(1.0), jnp.array(1), train=True,
+            method=SplatADModel.get_lidar_outputs,
+        )
+        total, metrics = model.apply(p, out, raster_pts, did_return, valid, method=SplatADModel.lidar_loss)
+        return total, metrics
+
+    (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    assert float(jnp.abs(grads["params"]["means"]).sum()) > 0
+    for k in ["depth_loss", "intensity_loss", "ray_drop_loss", "line_of_sight_loss"]:
+        assert k in metrics
+
+
+def test_compute_relocation():
+    op = jnp.array([0.9, 0.5])
+    scales = jnp.ones((2, 3))
+    counts = jnp.array([1, 4])
+    new_op, new_scales = compute_relocation(op, scales, counts)
+    np.testing.assert_allclose(float(new_op[0]), 0.9, atol=1e-5)  # count 1: unchanged
+    np.testing.assert_allclose(float(new_op[1]), 1 - (1 - 0.5) ** 0.25, atol=1e-5)
+    assert float(new_scales[1, 0]) < 1.0  # clones shrink
+
+
+def test_mcmc_relocate_revives_dead():
+    n = 64
+    rng = np.random.default_rng(2)
+    params = {
+        "means": jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        "scales": jnp.full((n, 3), np.log(0.3)),
+        "quats": jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
+        "opacities": jnp.where(jnp.arange(n) < 16, -10.0, 2.0),  # first 16 dead
+        "features": jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32)),
+        "id": jnp.full(n, 1, dtype=jnp.int32),
+    }
+    cfg = MCMCStrategyConfig(cap_max=n, min_opacity=0.01)
+    new_params, _ = mcmc_relocate(jax.random.PRNGKey(0), params, None, cfg)
+    new_op = jax.nn.sigmoid(new_params["opacities"])
+    assert float(new_op[:16].min()) > 0.01  # dead slots revived
+    assert new_params["means"].shape == (n, 3)
+
+
+def test_mcmc_noise_moves_low_opacity():
+    n = 32
+    params = {
+        "means": jnp.zeros((n, 3)),
+        "scales": jnp.full((n, 3), np.log(0.5)),
+        "quats": jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
+        "opacities": jnp.full((n,), -8.0),  # all nearly dead -> big noise gate
+    }
+    out = mcmc_add_noise(jax.random.PRNGKey(0), params, lr_means=1e-4, config=MCMCStrategyConfig(noise_lr=5e4))
+    assert float(jnp.abs(out["means"]).sum()) > 0
+
+
+def test_should_refine():
+    cfg = MCMCStrategyConfig(refine_start_iter=500, refine_stop_iter=1000, refine_every=100)
+    assert should_refine(600, cfg)
+    assert not should_refine(650, cfg)
+    assert not should_refine(500, cfg)
+    assert not should_refine(1100, cfg)

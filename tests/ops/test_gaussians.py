@@ -1,0 +1,151 @@
+"""Gaussian projection + rasterization tests (gsplat-fork replacement semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurad_tpu.ops.gaussian_rasterize import bin_gaussians, rasterize_camera, rasterize_lidar_points
+from neurad_tpu.ops.gaussians import (
+    project_gaussians_camera,
+    project_gaussians_lidar,
+    quat_scale_to_covariance,
+)
+
+ID_QUAT = jnp.array([1.0, 0.0, 0.0, 0.0])
+
+
+def _camera_setup(n=1):
+    K = jnp.array([[50.0, 0.0, 32.0], [0.0, 50.0, 24.0], [0.0, 0.0, 1.0]])
+    viewmat = jnp.eye(4)  # camera at origin looking +z (OpenCV)
+    return K, viewmat
+
+
+def test_quat_scale_covariance():
+    cov = quat_scale_to_covariance(ID_QUAT[None], jnp.array([[1.0, 2.0, 3.0]]))
+    np.testing.assert_allclose(np.asarray(cov[0]), np.diag([1.0, 4.0, 9.0]), atol=1e-6)
+    # 90deg about z swaps x/y variances
+    q = jnp.array([[np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)]])
+    cov = quat_scale_to_covariance(q, jnp.array([[1.0, 2.0, 1.0]]))
+    np.testing.assert_allclose(np.asarray(cov[0]), np.diag([4.0, 1.0, 1.0]), atol=1e-5)
+
+
+def test_camera_projection_center():
+    K, viewmat = _camera_setup()
+    means = jnp.array([[0.0, 0.0, 10.0], [1.0, 0.0, 10.0]])
+    covs = quat_scale_to_covariance(jnp.broadcast_to(ID_QUAT, (2, 4)), jnp.full((2, 3), 0.3))
+    proj = project_gaussians_camera(means, covs, viewmat, K, 64, 48)
+    np.testing.assert_allclose(np.asarray(proj.means2d[0]), [32.0, 24.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(proj.means2d[1]), [37.0, 24.0], atol=1e-5)  # 50*0.1
+    np.testing.assert_allclose(np.asarray(proj.depths), [10.0, 10.0], atol=1e-6)
+    assert (np.asarray(proj.radii) > 0).all()
+
+
+def test_camera_projection_culls_behind():
+    K, viewmat = _camera_setup()
+    means = jnp.array([[0.0, 0.0, -5.0], [0.0, 0.0, 10.0]])
+    covs = quat_scale_to_covariance(jnp.broadcast_to(ID_QUAT, (2, 4)), jnp.full((2, 3), 0.3))
+    proj = project_gaussians_camera(means, covs, viewmat, K, 64, 48)
+    assert float(proj.radii[0]) == 0.0
+    assert float(proj.radii[1]) > 0.0
+
+
+def test_rs_velocity_projection():
+    K, viewmat = _camera_setup()
+    means = jnp.array([[0.0, 0.0, 10.0]])
+    covs = quat_scale_to_covariance(ID_QUAT[None], jnp.full((1, 3), 0.3))
+    vel = jnp.array([[1.0, 0.0, 0.0]])  # 1 m/s in +x -> 5 px/s at depth 10, fx=50
+    proj = project_gaussians_camera(means, covs, viewmat, K, 64, 48, velocities=vel)
+    np.testing.assert_allclose(np.asarray(proj.vel2d[0]), [5.0, 0.0], atol=1e-5)
+
+
+def test_bin_gaussians_orders_by_depth():
+    means2d = jnp.array([[8.0, 8.0], [8.0, 8.0], [40.0, 8.0]])
+    radii = jnp.array([3.0, 3.0, 3.0])
+    depths = jnp.array([5.0, 2.0, 1.0])
+    binning = bin_gaussians(means2d, radii, depths, (0.0, 0.0), (16.0, 16.0), (4, 1), 4, 8)
+    # tile 0 holds gaussians 1 (closer) then 0
+    tg, tv = np.asarray(binning.tile_gauss[0]), np.asarray(binning.tile_valid[0])
+    assert tv[:2].all() and not tv[2:].any()
+    assert tg[0] == 1 and tg[1] == 0
+    # tile 2 holds gaussian 2
+    assert np.asarray(binning.tile_valid[2]).sum() == 1
+    assert np.asarray(binning.tile_gauss[2])[0] == 2
+
+
+def test_rasterize_camera_renders_gaussian():
+    K, viewmat = _camera_setup()
+    means = jnp.array([[0.0, 0.0, 10.0]])
+    covs = quat_scale_to_covariance(ID_QUAT[None], jnp.full((1, 3), 1.0))
+    proj = project_gaussians_camera(means, covs, viewmat, K, 64, 48)
+    feats = jnp.array([[1.0, 0.0, 0.0]])
+    opac = jnp.array([0.9])
+    img, depth, alpha = rasterize_camera(proj, feats, opac, 64, 48, tile_size=16, max_per_tile=8)
+    assert img.shape == (48, 64, 3)
+    # center pixel is red-ish, corner is empty
+    assert float(img[24, 32, 0]) > 0.5
+    assert float(alpha[24, 32, 0]) > 0.5
+    assert float(alpha[0, 0, 0]) < 1e-3
+    np.testing.assert_allclose(float(depth[24, 32, 0]) / float(alpha[24, 32, 0]), 10.0, rtol=1e-3)
+
+
+def test_rasterize_camera_occlusion():
+    K, viewmat = _camera_setup()
+    means = jnp.array([[0.0, 0.0, 5.0], [0.0, 0.0, 10.0]])
+    covs = quat_scale_to_covariance(jnp.broadcast_to(ID_QUAT, (2, 4)), jnp.full((2, 3), 1.0))
+    proj = project_gaussians_camera(means, covs, viewmat, K, 64, 48)
+    feats = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    opac = jnp.array([0.95, 0.95])
+    img, _, _ = rasterize_camera(proj, feats, opac, 64, 48, tile_size=16, max_per_tile=8)
+    # near red gaussian dominates the center
+    assert float(img[24, 32, 0]) > float(img[24, 32, 1]) * 3
+
+
+def test_rasterize_camera_differentiable():
+    K, viewmat = _camera_setup()
+    means = jnp.array([[0.0, 0.0, 10.0]])
+    feats = jnp.array([[0.8, 0.1, 0.1]])
+
+    def loss(means, feats):
+        covs = quat_scale_to_covariance(ID_QUAT[None], jnp.full((1, 3), 1.0))
+        proj = project_gaussians_camera(means, covs, viewmat, K, 64, 48)
+        img, _, _ = rasterize_camera(proj, feats, jnp.array([0.9]), 64, 48, tile_size=16, max_per_tile=8)
+        return jnp.sum((img - 0.5) ** 2)
+
+    gm, gf = jax.grad(loss, argnums=(0, 1))(means, feats)
+    assert np.isfinite(np.asarray(gm)).all() and np.abs(np.asarray(gf)).sum() > 0
+
+
+def test_lidar_projection_and_rasterize():
+    viewmat = jnp.eye(4)
+    means = jnp.array([[10.0, 0.0, 0.0], [0.0, 10.0, 2.0]])  # front, left-up
+    covs = quat_scale_to_covariance(jnp.broadcast_to(ID_QUAT, (2, 4)), jnp.full((2, 3), 0.5))
+    proj = project_gaussians_lidar(means, covs, viewmat)
+    np.testing.assert_allclose(np.asarray(proj.means2d[0]), [0.0, 0.0], atol=1e-4)
+    np.testing.assert_allclose(float(proj.means2d[1, 0]), 90.0, atol=1e-4)
+    np.testing.assert_allclose(float(proj.depths[0]), 10.0, atol=1e-5)
+
+    feats = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+    opac = jnp.array([0.95, 0.95])
+    # query: straight ahead at gt depth 10, and a away-from-gaussians direction
+    pts = jnp.array([[0.0, 0.0, 10.0, 0.0], [135.0, -10.0, 10.0, 0.0]])
+    out = rasterize_lidar_points(proj, feats, opac, pts, max_per_tile=8)
+    assert float(out["alpha"][0, 0]) > 0.5
+    assert float(out["alpha"][1, 0]) < 1e-3
+    np.testing.assert_allclose(float(out["depth"][0, 0]) / float(out["alpha"][0, 0]), 10.0, rtol=1e-3)
+    # alpha in front of the return should be ~0 (gaussian is AT the return depth)
+    assert float(out["alpha_sum_until_points"][0, 0]) < 0.5
+
+
+def test_lidar_median_depth_and_los():
+    viewmat = jnp.eye(4)
+    # two gaussians along the same ray at 5m and 10m
+    means = jnp.array([[5.0, 0.0, 0.0], [10.0, 0.0, 0.0]])
+    covs = quat_scale_to_covariance(jnp.broadcast_to(ID_QUAT, (2, 4)), jnp.full((2, 3), 0.5))
+    proj = project_gaussians_lidar(means, covs, viewmat)
+    feats = jnp.ones((2, 1))
+    opac = jnp.array([0.6, 0.9])
+    pts = jnp.array([[0.0, 0.0, 10.0, 0.0]])  # gt return at 10m
+    out = rasterize_lidar_points(proj, feats, opac, pts, max_per_tile=8)
+    # the 5m gaussian accumulates before the 10m return -> alpha_sum_until > 0.5
+    assert float(out["alpha_sum_until_points"][0, 0]) > 0.5
+    np.testing.assert_allclose(float(out["median_depth"][0, 0]), 5.0, atol=0.2)

@@ -1,0 +1,50 @@
+"""End-to-end SplatAD: synthetic scene -> camera/lidar steps -> loss drops, MCMC refines."""
+
+import jax
+import numpy as np
+import pytest
+
+from neurad_tpu.data.dataparsers.synthetic import SyntheticDataParserConfig
+from neurad_tpu.data.full_image_datamanager import FullImageLidarDataManagerConfig
+from neurad_tpu.model_components.strategy import MCMCStrategyConfig
+from neurad_tpu.models.splatad import SplatADConfig
+from neurad_tpu.pipelines.splatad_pipeline import SplatADPipeline, SplatADPipelineConfig
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    parser = SyntheticDataParserConfig(num_frames=5, image_height=32, image_width=48,
+                                       lidar_channels=8, lidar_azimuths=90).setup()
+    outputs = parser.get_dataparser_outputs()
+    config = SplatADPipelineConfig(
+        datamanager=FullImageLidarDataManagerConfig(max_lidar_points=512),
+        model=SplatADConfig(feature_dim=8, appearance_dim=4, max_per_tile=64, lidar_max_per_tile=32),
+        mcmc=MCMCStrategyConfig(cap_max=1024, refine_start_iter=5, refine_stop_iter=100, refine_every=10),
+        cap_max=1024,
+    )
+    return SplatADPipeline(outputs, config)
+
+
+def test_splatad_trains(pipeline):
+    state = pipeline.init_state()
+    cam_losses, lid_losses = [], []
+    for i in range(30):
+        sample = pipeline.datamanager.next_train()
+        state, metrics = pipeline.train_step(state, sample)
+        loss = float(metrics["total_loss"])
+        assert np.isfinite(loss), f"step {i}: loss not finite"
+        if "psnr" in metrics:
+            cam_losses.append(float(metrics["main_loss"]))
+        else:
+            lid_losses.append(float(metrics["depth_loss"]))
+    assert cam_losses and lid_losses, "both modalities should be exercised"
+    # losses should broadly decrease (camera main loss)
+    assert np.mean(cam_losses[-3:]) < np.mean(cam_losses[:3]) * 1.5
+    pipeline._test_state = state
+
+
+def test_splatad_eval(pipeline):
+    state = getattr(pipeline, "_test_state", None) or pipeline.init_state()
+    metrics = pipeline.eval_metrics(state)
+    assert "psnr" in metrics and np.isfinite(metrics["psnr"])
+    assert "depth_median_l2" in metrics and np.isfinite(metrics["depth_median_l2"])
