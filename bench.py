@@ -20,7 +20,18 @@ import time
 
 
 def main():
+    import os
+    import sys
+
     import jax
+
+    # persistent compilation cache: repeat bench runs skip the (remote) compile
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from neurad_tpu.data.datamanager import ADDataManagerConfig
     from neurad_tpu.data.dataparsers.synthetic import SyntheticDataParserConfig
@@ -28,11 +39,13 @@ def main():
     from neurad_tpu.pipelines.ad_pipeline import ADPipeline, ADPipelineConfig
 
     backend = jax.default_backend()
-    # default-size model; synthetic scene big enough to exercise full batch
+    # real NeuRAD per-ray architecture ((128,64) proposals + 32 nerf samples,
+    # full-size hash tables); ray batch sized to fill one chip without inflating
+    # the compile. Rays/s is the metric, so per-ray work must match the method.
     parser = SyntheticDataParserConfig(num_frames=10, image_height=192, image_width=288).setup()
     outputs = parser.get_dataparser_outputs()
     config = ADPipelineConfig(
-        datamanager=ADDataManagerConfig(num_cam_patches=40, patch_size=32, num_lidar_rays=16384),
+        datamanager=ADDataManagerConfig(num_cam_patches=20, patch_size=32, num_lidar_rays=8192),
         model_overrides=dict(
             sampling=SamplingSettings(),  # (128, 64) proposals, 32 nerf samples
         ),
@@ -43,11 +56,13 @@ def main():
 
     batches = [pipe.datamanager.next_train() for _ in range(4)]
     rays_per_step = batches[0][0].origins.shape[0]
+    print(f"[bench] compiling train step ({rays_per_step} rays/step, backend={backend})...", file=sys.stderr, flush=True)
 
     # warmup (compile)
     for i in range(3):
         state, metrics = step_fn(state, *batches[i % len(batches)])
     jax.block_until_ready(state.params)
+    print("[bench] compile done, timing...", file=sys.stderr, flush=True)
 
     n_steps = 20
     t0 = time.perf_counter()

@@ -24,9 +24,19 @@ class MethodConfig:
 
     method_name: str
     trainer: TrainerConfig
-    pipeline: ADPipelineConfig
+    pipeline: object  # ADPipelineConfig | SplatADPipelineConfig
     dataparser: str = "synthetic"
     description: str = ""
+    pipeline_type: str = "ad"  # 'ad' (ray-based) | 'splatad' (full-sensor)
+
+    def build_pipeline(self, outputs):
+        if self.pipeline_type == "splatad":
+            from neurad_tpu.pipelines.splatad_pipeline import SplatADPipeline
+
+            return SplatADPipeline(outputs, self.pipeline)
+        from neurad_tpu.pipelines.ad_pipeline import ADPipeline
+
+        return ADPipeline(outputs, self.pipeline)
 
 
 def _scaled(cfg: MethodConfig, scale: float, newname: str) -> MethodConfig:
@@ -97,12 +107,53 @@ def _neurad_tiny() -> MethodConfig:
     )
 
 
+def _splatad() -> MethodConfig:
+    """The `splatad` preset (`method_configs.py:300-358`)."""
+    from neurad_tpu.pipelines.splatad_pipeline import SplatADPipelineConfig
+
+    return MethodConfig(
+        method_name="splatad",
+        description="SplatAD: rolling-shutter gaussian splatting with camera+lidar",
+        pipeline_type="splatad",
+        trainer=TrainerConfig(
+            max_num_iterations=30001,
+            steps_per_eval_batch=500,
+            steps_per_save=2000,
+            steps_per_log=100,
+        ),
+        pipeline=SplatADPipelineConfig(),
+    )
+
+
+def _splatad_tiny() -> MethodConfig:
+    from neurad_tpu.data.full_image_datamanager import FullImageLidarDataManagerConfig
+    from neurad_tpu.model_components.strategy import MCMCStrategyConfig
+    from neurad_tpu.models.splatad import SplatADConfig
+    from neurad_tpu.pipelines.splatad_pipeline import SplatADPipelineConfig
+
+    return MethodConfig(
+        method_name="splatad-tiny",
+        description="Tiny SplatAD for CPU smoke testing",
+        pipeline_type="splatad",
+        trainer=TrainerConfig(max_num_iterations=100, steps_per_eval_batch=50, steps_per_save=10**9,
+                              steps_per_log=10),
+        pipeline=SplatADPipelineConfig(
+            datamanager=FullImageLidarDataManagerConfig(max_lidar_points=512),
+            model=SplatADConfig(feature_dim=8, appearance_dim=4, max_per_tile=64, lidar_max_per_tile=32),
+            mcmc=MCMCStrategyConfig(cap_max=2048, refine_start_iter=10, refine_every=25),
+            cap_max=2048,
+        ),
+    )
+
+
 _REGISTRY: Dict[str, Callable[[], MethodConfig]] = {
     "neurad": _neurad,
     "neurad-tiny": _neurad_tiny,
     "neurad-paper": lambda: _scaled(_neurad(), 4.0, "neurad-paper"),
     "neurader": lambda: _scaled(_neurad(), 2.0, "neurader"),
     "neuradest": lambda: _scaled(_neurad(), 0.25, "neuradest"),
+    "splatad": _splatad,
+    "splatad-tiny": _splatad_tiny,
 }
 
 

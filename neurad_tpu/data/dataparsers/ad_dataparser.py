@@ -388,11 +388,42 @@ class ADDataParser:
 
     # ---- missing point synthesis (`ad_dataparser.py:471-610`) ----
 
-    def _add_missing_points(self, lids: dict, point_clouds: List[np.ndarray]) -> List[np.ndarray]:
-        """Insert DUMMY_DISTANCE points at azimuth gaps per channel.
+    lidar_name_for_missing_points: Optional[str] = None  # e.g. "PANDAR64"
 
-        Requires point clouds with a channel column (x,y,z,i,t,channel) and an
-        elevation mapping from the subclass via `_elevation_for_channel`.
-        Subclasses without channel info inherit the no-op.
-        """
-        return point_clouds
+    def _add_missing_points(self, lids: dict, point_clouds: List[np.ndarray]) -> List[np.ndarray]:
+        """Insert DUMMY_DISTANCE points at azimuth gaps per channel
+        (`ad_dataparser.py:471-610`): for each lidar channel (nearest-elevation
+        assignment), azimuth steps with no return get a synthetic point at
+        DUMMY_DISTANCE so ray-drop learns where the lidar saw nothing."""
+        if self.lidar_name_for_missing_points is None:
+            return point_clouds
+        from neurad_tpu.data.lidar_elevation_mappings import (
+            AZIMUTH_RESOLUTION,
+            ELEVATION_MAPPINGS,
+            assign_channels,
+        )
+
+        elevs = ELEVATION_MAPPINGS[self.lidar_name_for_missing_points]
+        azim_res = AZIMUTH_RESOLUTION[self.lidar_name_for_missing_points]
+        n_azim = int(round(360.0 / azim_res))
+        out = []
+        for pc in point_clouds:
+            channels = assign_channels(pc[:, :3], elevs)
+            azim = np.rad2deg(np.arctan2(pc[:, 1], pc[:, 0]))  # [-180, 180)
+            azim_bin = np.clip(((azim + 180.0) / azim_res).astype(np.int64), 0, n_azim - 1)
+            # occupancy per (channel, azimuth bin)
+            occupied = np.zeros((len(elevs), n_azim), dtype=bool)
+            occupied[channels, azim_bin] = True
+            miss_ch, miss_az = np.nonzero(~occupied)
+            if len(miss_ch) == 0:
+                out.append(pc)
+                continue
+            theta = np.deg2rad(miss_az * azim_res - 180.0 + azim_res / 2.0)
+            phi = np.deg2rad(elevs[miss_ch])
+            dirs = np.stack(
+                [np.cos(phi) * np.cos(theta), np.cos(phi) * np.sin(theta), np.sin(phi)], axis=-1
+            )
+            missing = np.zeros((len(miss_ch), pc.shape[1]), dtype=pc.dtype)
+            missing[:, :3] = dirs * DUMMY_DISTANCE_VALUE
+            out.append(np.concatenate([pc, missing]))
+        return out

@@ -102,6 +102,7 @@ class PandaSetDataParser(ADDataParser):
     """Raw-layout PandaSet reader."""
 
     config: PandaSetDataParserConfig
+    lidar_name_for_missing_points = "PANDAR64"
 
     def __init__(self, config: PandaSetDataParserConfig):
         super().__init__(config)

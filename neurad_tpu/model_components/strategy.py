@@ -45,21 +45,19 @@ def compute_relocation(
 
     opacities [N] in (0,1); scales [N,3] linear; counts [N] >= 1.
     """
-    n = jnp.clip(counts, 1, _N_BINOM - 1)
+    n = jnp.clip(counts, 1, _N_BINOM)
     new_opacity = 1.0 - (1.0 - opacities) ** (1.0 / n.astype(opacities.dtype))
 
-    # denom = sum_{i=1..n} new_o^i * (-1)^{i+1} / sqrt(i) * C(n-1, i-1) ... per paper
-    i = jnp.arange(1, _N_BINOM, dtype=opacities.dtype)  # [B-1]
-    binoms = jnp.asarray(_BINOMS)  # [B, B]
-    # C(n-1, i-1) for each gaussian/term
-    coeff = binoms[n - 1][:, : _N_BINOM - 1]  # [N, B-1] -> C(n-1, k) with k=i-1
-    pow_o = new_opacity[:, None] ** i[None, :]
-    sign = (-1.0) ** (i[None, :] + 1.0)
-    term = coeff * sign * pow_o / jnp.sqrt(i)[None, :]
-    mask = (i[None, :] <= n[:, None]).astype(opacities.dtype)
-    denom = jnp.sum(term * mask, axis=-1)
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
-    new_scales = scales * (opacities / jnp.clip(denom, 1e-12, None))[:, None]
+    # gsplat relocation.cu: denom = sum_{i=1..n} sum_{k=0..i-1}
+    #   C(i-1, k) * (-1)^k / sqrt(k+1) * new_o^{k+1};  scale *= old_o / denom
+    k = jnp.arange(_N_BINOM, dtype=opacities.dtype)  # [K]
+    a = ((-1.0) ** k / jnp.sqrt(k + 1.0))[None, :] * new_opacity[:, None] ** (k + 1.0)  # [G, K]
+    binoms = jnp.asarray(_BINOMS)  # [I, K] with binoms[i-1, k] = C(i-1, k)
+    s = a @ binoms.T  # [G, I]: s[:, i-1] = inner sum for i
+    cum = jnp.cumsum(s, axis=-1)
+    denom = jnp.take_along_axis(cum, (n - 1)[:, None], axis=-1)[:, 0]
+    coeff = opacities / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    new_scales = scales * coeff[:, None]
     return new_opacity, new_scales
 
 

@@ -213,6 +213,15 @@ class SplatADModel(nn.Module):
     def n_actors(self) -> int:
         return self.actor_data.n_actors
 
+    def init_all(self) -> None:
+        """Touch every submodule with tiny dummy inputs so a single `init` call
+        creates ALL parameters (camera + lidar decoders, optimizers, embeddings)."""
+        c2w = jnp.eye(4)[:3]
+        K = jnp.array([[10.0, 0.0, 8.0], [0.0, 10.0, 8.0], [0.0, 0.0, 1.0]])
+        self.get_camera_outputs(c2w, K, 16, 16, jnp.zeros(()), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        raster_pts = jnp.zeros((8, 5))
+        self.get_lidar_outputs(c2w, raster_pts, jnp.zeros(()), jnp.zeros((), jnp.int32))
+
     # ------------------------------------------------------------------
 
     def _actor_adjusted_means(self, time: jnp.ndarray):

@@ -195,14 +195,12 @@ def rasterize_camera(
     local = jnp.stack([px.reshape(-1) + 0.5, py.reshape(-1) + 0.5], axis=-1)  # [P, 2]
     pix = jnp.stack([tx, ty], axis=-1)[:, None, :] + local[None, :, :]  # [T, P, 2]
 
-    if rolling_shutter_time != 0.0:
-        if rs_direction == "vertical":
-            frac = pix[..., 1] / float(height)
-        else:
-            frac = pix[..., 0] / float(width)
-        pix_times = (frac - 0.5) * rolling_shutter_time  # [T, P]
+    # rolling_shutter_time may be a traced scalar (0 = no warp, costs nothing)
+    if rs_direction == "vertical":
+        frac = pix[..., 1] / float(height)
     else:
-        pix_times = jnp.zeros(pix.shape[:-1])
+        frac = pix[..., 0] / float(width)
+    pix_times = (frac - 0.5) * rolling_shutter_time  # [T, P]
 
     opac = opacities * projected.compensations
 

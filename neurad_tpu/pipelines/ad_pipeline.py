@@ -139,6 +139,40 @@ class ADPipeline:
             "did_return": np.asarray(bundle.metadata["did_return"]),
         }
 
+    def eval_fid_suite(self, state: TrainState, max_images: int = 8) -> Dict[str, float]:
+        """Novel-view FID: lane shift +-2/3 m, vertical +1 m (`ad_pipeline.py:172-192,
+        376-502`). Renders eval cameras with shifted ray origins and compares the
+        feature statistics against the real eval images."""
+        import jax as _jax
+
+        from neurad_tpu.models.neurad import NeuRADModel
+        from neurad_tpu.utils.eval_metrics import fid, fid_suite_shifts
+
+        lane_sign = 1
+        if self.outputs.metadata and "lane_shift_sign" in self.outputs.metadata:
+            lane_sign = int(self.outputs.metadata["lane_shift_sign"])
+        cams = list(self.outputs.eval_camera_indices)[:max_images]
+        if not cams:
+            return {}
+        real = [np.asarray(self.render_eval_camera(state, ci)[1]) for ci in cams]
+        metrics: Dict[str, float] = {}
+        for name, (lateral, vertical) in fid_suite_shifts(lane_sign).items():
+            fakes = []
+            for ci in cams:
+                bundle, _, (hs, ws) = self.datamanager.eval_camera_bundle(ci)
+                c2w = np.asarray(self.outputs.cameras.camera_to_worlds[ci])
+                right, up = c2w[:3, 0], c2w[:3, 1]
+                shift = jnp.asarray(right * lateral + up * vertical)
+                bundle = bundle.replace(origins=bundle.origins + shift)
+                nff = self._chunked_nff(state.params, bundle, all_camera=True)
+                features = nff["features"]
+                rgb = self.model.apply(
+                    state.params, features, (hs, ws), hs * ws, method=NeuRADModel.decode_features
+                )[0]
+                fakes.append(np.asarray(rgb[0]))
+            metrics[f"fid_{name}"] = fid(real, fakes)
+        return metrics
+
     def eval_metrics(self, state: TrainState) -> Dict[str, float]:
         """PSNR/SSIM on eval cameras + lidar depth/intensity metrics
         (`ad_pipeline.py:118-142`)."""

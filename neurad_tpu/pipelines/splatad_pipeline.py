@@ -102,18 +102,7 @@ class SplatADPipeline:
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
         rng, init_rng, state_rng = jax.random.split(rng, 3)
-        sample = self.datamanager._camera_sample(self.datamanager.train_cams[0])
-        params = self.model.init(
-            init_rng,
-            jnp.asarray(sample.c2w),
-            jnp.asarray(sample.K),
-            sample.width,
-            sample.height,
-            jnp.asarray(sample.time),
-            jnp.asarray(sample.sensor_idx),
-            jnp.asarray(sample.cam_idx),
-            method=SplatADModel.get_camera_outputs,
-        )
+        params = self.model.init(init_rng, method=SplatADModel.init_all)
         self.tx, opt_state = build_optimizer(
             params, self.config.optimizer_groups, rules=SPLATAD_GROUP_RULES
         )

@@ -1,0 +1,96 @@
+"""nt-export: export point clouds / gaussian splats from a checkpoint.
+
+TPU-native counterpart of `nerfstudio/scripts/exporter.py` (pointcloud 50-200,
+gaussian splat PLY 500-608).
+"""
+
+from __future__ import annotations
+
+import argparse
+import struct
+from pathlib import Path
+
+import numpy as np
+
+
+def write_ply(path: Path, fields: dict):
+    """Minimal binary-little-endian PLY writer (vertex elements only)."""
+    names = list(fields)
+    n = len(next(iter(fields.values())))
+    header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
+    for name in names:
+        header.append(f"property float {name}")
+    header.append("end_header")
+    arr = np.stack([np.asarray(fields[k], dtype="<f4") for k in names], axis=-1)
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        f.write(arr.tobytes())
+
+
+def export_pointcloud(pipeline, state, out_path: Path, num_rays: int = 50000):
+    """Render eval lidar scans and dump predicted points (`exporter.py:50-200`)."""
+    pts, cols = [], []
+    for si in pipeline.outputs.eval_lidar_indices:
+        out = pipeline.render_eval_lidar(state, si)
+        bundle, _ = pipeline.datamanager.eval_lidar_bundle(si)
+        xyz = np.asarray(bundle.origins + bundle.directions * out["depth"])
+        keep = out["depth"][:, 0] < 1e3
+        pts.append(xyz[keep])
+        cols.append(np.repeat(out["intensity"][keep], 3, axis=-1))
+    pts = np.concatenate(pts) if pts else np.zeros((0, 3))
+    cols = np.concatenate(cols) if cols else np.zeros((0, 3))
+    write_ply(out_path, {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+                         "red": cols[:, 0], "green": cols[:, 1], "blue": cols[:, 2]})
+    return len(pts)
+
+
+def export_gaussian_splat(params: dict, out_path: Path):
+    """Dump SplatAD gaussians as a 3DGS-convention PLY (`exporter.py:500-608`)."""
+    p = params["params"]
+    means = np.asarray(p["means"])
+    scales = np.asarray(p["scales"])
+    quats = np.asarray(p["quats"])
+    op = np.asarray(p["opacities"])
+    feats = np.asarray(p["features"])
+    fields = {
+        "x": means[:, 0], "y": means[:, 1], "z": means[:, 2],
+        "scale_0": scales[:, 0], "scale_1": scales[:, 1], "scale_2": scales[:, 2],
+        "rot_0": quats[:, 0], "rot_1": quats[:, 1], "rot_2": quats[:, 2], "rot_3": quats[:, 3],
+        "opacity": op,
+    }
+    for i in range(min(feats.shape[1], 16)):
+        fields[f"f_dc_{i}" if i < 3 else f"f_rest_{i-3}"] = feats[:, i]
+    write_ply(out_path, fields)
+    return means.shape[0]
+
+
+def entrypoint(argv=None):
+    parser = argparse.ArgumentParser(description="Export from a trained neurad_tpu run")
+    parser.add_argument("mode", choices=["pointcloud", "gaussian-splat", "camera-poses"])
+    parser.add_argument("run_dir")
+    parser.add_argument("--output", default=None)
+    args = parser.parse_args(argv)
+
+    from neurad_tpu.scripts.eval import load_run
+
+    pipeline, state, step = load_run(args.run_dir)
+    out = Path(args.output or (Path(args.run_dir) / f"export_{args.mode}.ply"))
+
+    if args.mode == "pointcloud":
+        n = export_pointcloud(pipeline, state, out)
+        print(f"[nt-export] wrote {n} points to {out}")
+    elif args.mode == "gaussian-splat":
+        n = export_gaussian_splat(state.params, out)
+        print(f"[nt-export] wrote {n} gaussians to {out}")
+    else:  # camera-poses
+        import json
+
+        cams = pipeline.outputs.cameras
+        poses = np.asarray(cams.camera_to_worlds).tolist()
+        out = out.with_suffix(".json")
+        out.write_text(json.dumps({"camera_to_worlds": poses}))
+        print(f"[nt-export] wrote camera poses to {out}")
+
+
+if __name__ == "__main__":
+    entrypoint()

@@ -84,10 +84,29 @@ def entrypoint(argv=None):
                     "overrides": args.set, "seed": args.seed}, indent=2)
     )
 
-    from neurad_tpu.pipelines.ad_pipeline import ADPipeline
-
     cfg.pipeline.seed = args.seed
-    pipeline = ADPipeline(outputs, cfg.pipeline)
+    pipeline = cfg.build_pipeline(outputs)
+    writer = MultiWriter([LocalWriter(), TensorboardWriter(str(run_dir / "tb"))])
+    print(f"[nt-train] {args.method} on {args.dataparser or cfg.dataparser}: "
+          f"{cfg.trainer.max_num_iterations} iters, backend={jax.default_backend()}")
+
+    if cfg.pipeline_type == "splatad":
+        # full-sensor loop: the pipeline dispatches per-modality jit steps itself
+        state = pipeline.init_state(jax.random.PRNGKey(args.seed))
+        metrics = {}
+        for i in range(cfg.trainer.max_num_iterations):
+            sample = pipeline.datamanager.next_train()
+            state, m = pipeline.train_step(state, sample)
+            if i % cfg.trainer.steps_per_log == 0:
+                metrics = {k: float(v) for k, v in m.items()}
+                writer.write_scalars(i, metrics)
+            if i > 0 and i % cfg.trainer.steps_per_eval_batch == 0:
+                ev = pipeline.eval_metrics(state)
+                writer.write_scalars(i, {f"eval/{k}": v for k, v in ev.items()})
+                metrics.update({f"eval/{k}": v for k, v in ev.items()})
+        print(f"[nt-train] done: {json.dumps(metrics)}")
+        return state
+
     state, tx = pipeline.init_state(jax.random.PRNGKey(args.seed))
     step_fn = pipeline.make_train_step(tx)
     if args.mesh and len(jax.devices()) > 1:
@@ -95,7 +114,6 @@ def entrypoint(argv=None):
 
         step_fn = make_sharded_train_step(step_fn, make_mesh())
 
-    writer = MultiWriter([LocalWriter(), TensorboardWriter(str(run_dir / "tb"))])
     trainer = Trainer(
         step_fn,
         state,
@@ -104,9 +122,6 @@ def entrypoint(argv=None):
         eval_fn=pipeline.eval_metrics,
         writer=writer,
     )
-    print(f"[nt-train] {args.method} on {args.dataparser or cfg.dataparser}: "
-          f"{cfg.trainer.max_num_iterations} iters, {pipeline.num_cam_rays} cam rays + "
-          f"{cfg.pipeline.datamanager.num_lidar_rays} lidar rays/step, backend={jax.default_backend()}")
     metrics = trainer.train()
     print(f"[nt-train] done: {json.dumps(metrics)}")
     return trainer

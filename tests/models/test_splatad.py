@@ -54,10 +54,7 @@ def model_and_params():
     c2w = jnp.asarray(
         np.array([[0, 0, -1, 0], [-1, 0, 0, 0], [0, 1, 0, 1.5]], dtype=np.float32)
     )  # looking along +x
-    params = model.init(
-        jax.random.PRNGKey(0), c2w, K, 48, 32, jnp.array(1.0), jnp.array(0), jnp.array(0),
-        method=SplatADModel.get_camera_outputs,
-    )
+    params = model.init(jax.random.PRNGKey(0), method=SplatADModel.init_all)
     return model, params, c2w, K
 
 
