@@ -182,4 +182,16 @@ def get_dataparser(name: str, **kwargs):
         from neurad_tpu.data.dataparsers.pandaset import PandaSetDataParserConfig
 
         return PandaSetDataParserConfig(**kwargs).setup()
+    if name == "nuscenes":
+        from neurad_tpu.data.dataparsers.nuscenes import NuScenesDataParserConfig
+
+        return NuScenesDataParserConfig(**kwargs).setup()
+    if name == "kitti":
+        from neurad_tpu.data.dataparsers.kitti import KittiMotDataParserConfig
+
+        return KittiMotDataParserConfig(**kwargs).setup()
+    if name == "argoverse2":
+        from neurad_tpu.data.dataparsers.argoverse2 import Argoverse2DataParserConfig
+
+        return Argoverse2DataParserConfig(**kwargs).setup()
     raise KeyError(f"unknown dataparser {name!r}")

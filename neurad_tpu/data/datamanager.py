@@ -71,6 +71,12 @@ class ADDataManager:
 
         self._queue: "queue.Queue" = queue.Queue(maxsize=self.config.prefetch)
         self._thread: Optional[threading.Thread] = None
+        # jit the ray generation: eager per-op dispatch is slow over a remote-TPU
+        # tunnel, and a single fused program also helps normal backends
+        self._gen_cam_rays = jax.jit(lambda cams, idx, coords: generate_rays(cams, idx, coords))
+        self._gen_lidar_rays = jax.jit(
+            lambda lidars, idx, pts: generate_lidar_rays_from_points(lidars, idx, pts)
+        )
 
     # ------------------------------------------------------------------
 
@@ -100,7 +106,7 @@ class ADDataManager:
         coords = np.stack(np.broadcast_arrays(rows, cols), axis=-1).reshape(-1, 2)  # [B*D*D, 2]
         cam_idx = np.repeat(cam_choice, d * d)
 
-        cam_bundle = generate_rays(
+        cam_bundle = self._gen_cam_rays(
             self.outputs.cameras, jnp.asarray(cam_idx, dtype=jnp.int32), jnp.asarray(coords, dtype=jnp.float32)
         )
 
@@ -113,7 +119,7 @@ class ADDataManager:
             pt_idx = self._rng.integers(0, self.points.shape[0], size=cfg.num_lidar_rays)
             pts = self.points[pt_idx]
             scan = self.point_scan_ids[pt_idx]
-            lidar_bundle = generate_lidar_rays_from_points(
+            lidar_bundle = self._gen_lidar_rays(
                 self.outputs.lidars, jnp.asarray(scan, dtype=jnp.int32), jnp.asarray(pts)
             )
             bundle = _merge_cam_lidar(cam_bundle, lidar_bundle)

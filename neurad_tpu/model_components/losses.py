@@ -113,10 +113,11 @@ def _sorted_interp_quad(x, xp, fpdf, fcdf):
 
 
 def zipnerf_interlevel_loss(
-    weights_list: Sequence[jnp.ndarray], sdist_list: Sequence[jnp.ndarray]
+    weights_list: Sequence[jnp.ndarray], sdist_list: Sequence[jnp.ndarray], per_ray: bool = False
 ) -> jnp.ndarray:
     """Anti-aliased interlevel loss (`losses.py:659-705`), mean-reduced like the
-    reference (NeuRAD uses mult 1e-3 with this reduction)."""
+    reference (NeuRAD uses mult 1e-3 with this reduction). per_ray=True returns
+    the per-ray values [R] instead of the mean (for chunked evaluation)."""
     pulse_widths = [0.03, 0.003]
     c = jax.lax.stop_gradient(sdist_list[-1])
     w = jax.lax.stop_gradient(weights_list[-1][..., 0])
@@ -139,7 +140,8 @@ def zipnerf_interlevel_loss(
 
         cdf_interp = _sorted_interp_quad(cp, c_, w_, cdf)
         w_s = jnp.diff(cdf_interp, axis=-1)
-        loss += jnp.mean(jnp.sum(jnp.clip(w_s - wp, 0.0, None) ** 2 / (wp + 1e-5), axis=-1))
+        ray_vals = jnp.sum(jnp.clip(w_s - wp, 0.0, None) ** 2 / (wp + 1e-5), axis=-1)
+        loss += ray_vals if per_ray else jnp.mean(ray_vals)
     return loss
 
 

@@ -166,7 +166,6 @@ class NeuRADModel(nn.Module):
         The first `num_cam_rays` rays are camera rays laid out as patches of
         `patch_size`; the remainder are lidar rays.
         """
-        ray_bundle = self.camera_optimizer.apply_to_raybundle(ray_bundle)
         outputs = self.get_nff_outputs(ray_bundle, num_cam_rays, train, rng)
         features = outputs.pop("features")
         rgb, intensity, ray_drop_logits = self.decode_features(
@@ -209,7 +208,14 @@ class NeuRADModel(nn.Module):
         train: bool = False,
         rng: Optional[jax.Array] = None,
     ) -> Dict[str, jnp.ndarray]:
-        """Neural-feature-field render (`models/neurad.py:368-424`)."""
+        """Neural-feature-field render (`models/neurad.py:368-424`).
+
+        Every output is PER-RAY ([R, ...]) — including the train-time
+        interlevel/distortion/carving loss contributions — so the whole method
+        chunks over rays at the pipeline level (`ops/chunking.py`); the peak-HBM
+        hash-gather intermediates then scale with the chunk, not the batch.
+        """
+        ray_bundle = self.camera_optimizer.apply_to_raybundle(ray_bundle)
         ray_bundle = self._scale_pixel_area(ray_bundle, num_cam_rays)
         rng_samp, rng_flip = jax.random.split(rng) if rng is not None else (None, None)
         ray_samples, prop_weights, prop_samples = self._get_ray_samples(ray_bundle, rng_samp)
@@ -246,26 +252,32 @@ class NeuRADModel(nn.Module):
             outputs[f"prop_depth_{i}"] = R.accumulate_along_rays(pw, pmids)
 
         if train:
-            # histograms for interlevel/distortion (`neurad.py:407-410`)
-            outputs["weights_list"] = list(prop_weights) + [w_nosky]
-            outputs["sdist_list"] = [
+            # per-ray interlevel + distortion over the sample histograms
+            # (`neurad.py:407-410`, reduced to per-ray for chunking)
+            weights_list = list(prop_weights) + [w_nosky]
+            sdist_list = [
                 L.ray_samples_to_sdist(s.spacing_starts, s.spacing_ends) for s in prop_samples
             ] + [
                 L.ray_samples_to_sdist(
                     ray_samples.spacing_starts[..., :-1, :], ray_samples.spacing_ends[..., :-1, :]
                 )
             ]
-            # carving masks (`neurad.py:676-700`), dense/masked
+            outputs["interlevel_per_ray"] = L.zipnerf_interlevel_loss(weights_list, sdist_list, per_ray=True)
+            outputs["distortion_per_ray"] = L.lossfun_distortion(sdist_list[-1], w_nosky[..., 0])
+
+            # carving: per-ray sum of squared off-surface lidar weights
+            # (`neurad.py:676-700, 509-517`), dense/masked
             is_lidar = self._is_lidar_mask(ray_bundle, num_cam_rays)  # [R]
-            outputs["is_lidar"] = is_lidar
             ranges = ray_bundle.metadata.get("directions_norm")
             did_return = ray_bundle.metadata.get("did_return")
             if ranges is not None:
-                outputs["nff_carving_mask"] = self._carving_mask(ray_samples, is_lidar, ranges, did_return)
-                outputs["nff_weights"] = weights
+                mask = self._carving_mask(ray_samples, is_lidar, ranges, did_return)
+                outputs["carving_per_ray"] = jnp.sum((weights[..., 0] * mask) ** 2, axis=-1)
                 for i, ps in enumerate(prop_samples):
-                    outputs[f"prop_carving_mask_{i}"] = self._carving_mask(ps, is_lidar, ranges, did_return)
-                    outputs[f"prop_weights_{i}"] = prop_weights[i]
+                    pmask = self._carving_mask(ps, is_lidar, ranges, did_return)
+                    outputs[f"prop_carving_per_ray_{i}"] = jnp.sum(
+                        (prop_weights[i][..., 0] * pmask) ** 2, axis=-1
+                    )
         return outputs
 
     # ------------------------------------------------------------------
@@ -273,13 +285,16 @@ class NeuRADModel(nn.Module):
     # ------------------------------------------------------------------
 
     def _is_lidar_mask(self, ray_bundle: RayBundle, num_cam_rays: int) -> jnp.ndarray:
+        """Per-ray lidar flag: metadata `is_lidar` when present (chunk-safe),
+        else the static [cam..., lidar...] layout split."""
+        if "is_lidar" in ray_bundle.metadata:
+            return ray_bundle.metadata["is_lidar"][..., 0]
         n = ray_bundle.origins.shape[0]
         return jnp.arange(n) >= num_cam_rays
 
     def _scale_pixel_area(self, ray_bundle: RayBundle, num_cam_rays: int) -> RayBundle:
         """Camera rays cover upsample^2 pixels each (`neurad.py:702-709`)."""
-        n = ray_bundle.origins.shape[0]
-        is_cam = (jnp.arange(n) < num_cam_rays)[:, None]
+        is_cam = ~self._is_lidar_mask(ray_bundle, num_cam_rays)[:, None]
         scaling = jnp.where(is_cam, float(self.rgb_upsample_factor**2), 1.0)
         return ray_bundle.replace(pixel_area=ray_bundle.pixel_area * scaling)
 
@@ -415,14 +430,12 @@ class NeuRADModel(nn.Module):
             rel = ((depth - termination) / jnp.clip(termination, EPS, None)) ** 2
             metrics["depth_mean_rel_l2"] = L.masked_mean(rel[..., 0], did_return)
 
-            # carving losses (`neurad.py:509-517`)
-            if "nff_weights" in outputs:
-                w, m = outputs["nff_weights"][..., 0], outputs["nff_carving_mask"]
-                metrics["carving_loss"] = jnp.sum((w * m) ** 2) / n_lidar
+            # carving losses (`neurad.py:509-517`), from per-ray contributions
+            if "carving_per_ray" in outputs:
+                metrics["carving_loss"] = jnp.sum(outputs["carving_per_ray"]) / n_lidar
                 loss_dict["carving_loss"] = conf.carving_mult * metrics["carving_loss"]
                 for i in range(self.num_proposal_rounds):
-                    pw, pm = outputs[f"prop_weights_{i}"][..., 0], outputs[f"prop_carving_mask_{i}"]
-                    metrics[f"carving_loss_{i}"] = jnp.sum((pw * pm) ** 2) / n_lidar
+                    metrics[f"carving_loss_{i}"] = jnp.sum(outputs[f"prop_carving_per_ray_{i}"]) / n_lidar
                     loss_dict[f"carving_loss_{i}"] = (
                         conf.prop_lidar_loss_mult * conf.carving_mult * metrics[f"carving_loss_{i}"]
                     )
@@ -432,11 +445,9 @@ class NeuRADModel(nn.Module):
                         conf.prop_lidar_loss_mult * conf.depth_mult * metrics[f"depth_loss_{i}"]
                     )
 
-        if "weights_list" in outputs:
-            loss_dict["interlevel_loss"] = conf.interlevel_loss_mult * L.zipnerf_interlevel_loss(
-                outputs["weights_list"], outputs["sdist_list"]
-            )
-            metrics["distortion"] = L.distortion_loss(outputs["weights_list"], outputs["sdist_list"])
+        if "interlevel_per_ray" in outputs:
+            loss_dict["interlevel_loss"] = conf.interlevel_loss_mult * jnp.mean(outputs["interlevel_per_ray"])
+            metrics["distortion"] = jnp.mean(outputs["distortion_per_ray"])
             loss_dict["distortion_loss"] = conf.distortion_loss_mult * metrics["distortion"]
 
         camera_opt_reg = self.camera_optimizer.regularization_loss()

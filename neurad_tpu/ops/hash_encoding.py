@@ -65,12 +65,35 @@ def _corner_offsets(d: int) -> np.ndarray:
     return np.stack([(corners >> i) & 1 for i in range(d)], axis=-1).astype(np.int32)
 
 
+@jax.custom_vjp
+def _gather_bf16_fwd_fp32_bwd(table: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
+    """Table gather reading bf16 (half the HBM traffic — the op's bottleneck,
+    matching tcnn's fp16 feature storage) while the backward scatter-add
+    accumulates in full fp32 (bf16 accumulation would corrupt hash-table grads)."""
+    return jnp.take(table.astype(jnp.bfloat16), flat_idx, axis=0).astype(table.dtype)
+
+
+def _gather_fwd(table, flat_idx):
+    # residuals must be arrays/ints; shape as a tuple of python ints is static
+    return _gather_bf16_fwd_fp32_bwd(table, flat_idx), (flat_idx, tuple(table.shape))
+
+
+def _gather_bwd(res, g):
+    flat_idx, shape = res
+    dtable = jnp.zeros(shape, g.dtype).at[flat_idx].add(g)
+    return dtable, None
+
+
+_gather_bf16_fwd_fp32_bwd.defvjp(_gather_fwd, _gather_bwd)
+
+
 def hash_encode(
     positions: jnp.ndarray,
     table: jnp.ndarray,
     scales: jnp.ndarray,
     table_size: int,
     level_weights: Optional[jnp.ndarray] = None,
+    gather_dtype: Optional[jnp.dtype] = jnp.bfloat16,
 ) -> jnp.ndarray:
     """Multi-level hash lookup with D-linear interpolation.
 
@@ -81,9 +104,12 @@ def hash_encode(
         table_size: entries per level (static).
         level_weights: optional [..., num_levels] per-level feature downweighting
             (NeuRAD's anti-aliasing, `neurad_encoding.py:297-304`).
+        gather_dtype: dtype for the table READ. bf16 halves HBM traffic on the
+            gather — the op's bottleneck — matching tcnn's fp16 feature storage
+            while the master table (and its gradients) stay fp32. None = fp32.
 
     Returns:
-        [..., num_levels * F] encoded features.
+        [..., num_levels * F] encoded features (fp32).
     """
     num_levels = scales.shape[0]
     f = table.shape[-1]
@@ -101,7 +127,11 @@ def hash_encode(
     level_offset = (jnp.arange(num_levels, dtype=jnp.int32) * table_size)[:, None]
     idx = hashed + level_offset  # [..., L, C]
 
-    feats = jnp.take(table, idx.reshape(-1), axis=0).reshape(idx.shape + (f,))  # [..., L, C, F]
+    if gather_dtype is not None:
+        flat_feats = _gather_bf16_fwd_fp32_bwd(table, idx.reshape(-1))
+    else:
+        flat_feats = jnp.take(table, idx.reshape(-1), axis=0)
+    feats = flat_feats.reshape(idx.shape + (f,))  # [..., L, C, F]
 
     # D-linear interpolation weights: prod over dims of (offset if corner bit else 1-offset)
     w = jnp.where(corners.astype(bool), offset[..., None, :], 1.0 - offset[..., None, :])  # [..., L, C, D]

@@ -32,6 +32,10 @@ class ADPipelineConfig:
     model_overrides: dict = dataclasses.field(default_factory=dict)
     optimizer_groups: dict = dataclasses.field(default_factory=lambda: dict(NEURAD_OPTIMIZER_GROUPS))
     eval_chunk: int = 1 << 15
+    # rays per NFF chunk inside the jit'd train step: bounds the hash-gather
+    # intermediates that otherwise exceed one chip's HBM at full batch
+    # (0 = no chunking; see ops/chunking.py)
+    train_ray_chunk: int = 8192
     seed: int = 0
 
 
@@ -67,18 +71,47 @@ class ADPipeline:
         rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
         rng, init_rng, flip_rng, state_rng = jax.random.split(rng, 4)
         bundle, _ = self.datamanager.next_train()
-        params = self.model.init(
-            init_rng, bundle, self.patch_size, self.num_cam_rays, True, flip_rng,
-            method=NeuRADModel.get_outputs,
-        )
+
+        # jit the init: flax init otherwise dispatches thousands of tiny eager
+        # ops — pathological over the remote-TPU tunnel
+        @jax.jit
+        def _init(ir, fr, b):
+            return self.model.init(
+                ir, b, self.patch_size, self.num_cam_rays, True, fr, method=NeuRADModel.get_outputs
+            )
+
+        params = _init(init_rng, flip_rng, bundle)
         tx, opt_state = build_optimizer(params, self.config.optimizer_groups)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state, rng=state_rng)
         return state, tx
 
     def loss_fn(self, params, bundle: RayBundle, batch: Dict[str, jnp.ndarray], rng: jax.Array):
-        out = self.model.apply(
-            params, bundle, self.patch_size, self.num_cam_rays, True, rng, method=NeuRADModel.get_outputs
-        )
+        chunk = self.config.train_ray_chunk
+        if chunk and bundle.origins.shape[0] > chunk:
+            from neurad_tpu.ops.chunking import chunked_map
+
+            # per-ray NFF chunked over rays (modality comes from metadata
+            # `is_lidar`, so chunks need no static cam/lidar split)
+            nff = chunked_map(
+                lambda b, key: self.model.apply(params, b, 0, True, key, method=NeuRADModel.get_nff_outputs),
+                bundle,
+                chunk,
+                rng=rng,
+            )
+            features = nff.pop("features")
+            rgb, intensity, ray_drop_logits = self.model.apply(
+                params, features, self.patch_size, self.num_cam_rays, True,
+                method=NeuRADModel.decode_features,
+            )
+            out = dict(nff)
+            out["rgb"] = rgb
+            if intensity is not None:
+                out["intensity"] = intensity
+                out["ray_drop_logits"] = ray_drop_logits
+        else:
+            out = self.model.apply(
+                params, bundle, self.patch_size, self.num_cam_rays, True, rng, method=NeuRADModel.get_outputs
+            )
         return self.model.apply(params, out, batch, self.num_cam_rays, method=NeuRADModel.compute_losses)
 
     def make_train_step(self, tx):

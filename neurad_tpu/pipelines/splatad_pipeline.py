@@ -102,7 +102,8 @@ class SplatADPipeline:
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
         rng, init_rng, state_rng = jax.random.split(rng, 3)
-        params = self.model.init(init_rng, method=SplatADModel.init_all)
+        # jit'd init: eager flax init is pathological over the remote-TPU tunnel
+        params = jax.jit(lambda r: self.model.init(r, method=SplatADModel.init_all))(init_rng)
         self.tx, opt_state = build_optimizer(
             params, self.config.optimizer_groups, rules=SPLATAD_GROUP_RULES
         )

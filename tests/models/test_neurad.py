@@ -54,6 +54,10 @@ def _bundle(n_cam_patches=2, n_lidar=8, key=0):
     n = n_cam + n_lidar
     dirs = rng.normal(size=(n, 3))
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = rng.normal(size=(n, 3)) * 0.1
+    # guarantee actor hits: a few rays start inside the actor box at (10,0,0)
+    origins[:4] = np.array([10.0, 0.0, 0.0]) + rng.normal(size=(4, 3)) * 0.2
+    dirs[:4] = np.array([1.0, 0.0, 0.0])
     ranges = rng.uniform(5.0, 40.0, size=(n_lidar, 1)).astype(np.float32)
     metadata = {
         "sensor_idxs": jnp.asarray(np.concatenate([np.zeros((n_cam, 1)), np.ones((n_lidar, 1))]), dtype=jnp.int32),
@@ -63,7 +67,7 @@ def _bundle(n_cam_patches=2, n_lidar=8, key=0):
         ),
     }
     bundle = RayBundle(
-        origins=jnp.asarray(rng.normal(size=(n, 3)) * 0.1),
+        origins=jnp.asarray(origins),
         directions=jnp.asarray(dirs),
         pixel_area=jnp.full((n, 1), 1e-5),
         camera_indices=jnp.zeros((n, 1), dtype=jnp.int32),
@@ -102,7 +106,9 @@ def test_forward_shapes(model_setup):
     assert out["ray_drop_logits"].shape == (n - n_cam, 1)
     assert out["depth"].shape == (n, 1)
     assert out["accumulation"].shape == (n, 1)
-    assert len(out["weights_list"]) == 3
+    assert out["interlevel_per_ray"].shape == (n,)
+    assert out["distortion_per_ray"].shape == (n,)
+    assert out["carving_per_ray"].shape == (n,)
     rgb = np.asarray(out["rgb"])
     assert (rgb >= 0).all() and (rgb <= 1).all()
 
@@ -148,5 +154,5 @@ def test_grads_reach_all_components(model_setup):
 def test_eval_forward_no_rng(model_setup):
     model, params, bundle, batch, n_cam = model_setup
     out = model.apply(params, bundle, (PATCH, PATCH), n_cam, method=NeuRADModel.get_outputs)
-    assert "weights_list" not in out
+    assert "interlevel_per_ray" not in out
     assert np.isfinite(np.asarray(out["depth"])).all()

@@ -52,9 +52,12 @@ def test_exact_at_grid_corner():
     table_size = 2**10
     scales = jnp.asarray([4.0])
     table = he.init_hash_table(key, 1, table_size, 2, scale=1.0)
-    # position exactly on grid point (2,1,3) at res 4
+    # position exactly on grid point (2,1,3) at res 4; fp32 reads for exactness
     pos = jnp.array([[2.0 / 4.0, 1.0 / 4.0, 3.0 / 4.0]])
-    out = he.hash_encode(pos, table, scales, table_size)
+    out = he.hash_encode(pos, table, scales, table_size, gather_dtype=None)
+    # default bf16 reads stay within bf16 quantization of the exact value
+    out_bf16 = he.hash_encode(pos, table, scales, table_size)
+    np.testing.assert_allclose(np.asarray(out_bf16), np.asarray(out), rtol=1e-2, atol=1e-2)
     # hash of (2,1,3)
     coords = jnp.array([[2, 1, 3]], dtype=jnp.int32)
     idx = (

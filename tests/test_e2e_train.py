@@ -45,6 +45,7 @@ def pipeline():
             "camera_opt": OptimizerGroupConfig(lr=1e-4, warmup_steps=0),
         },
         eval_chunk=2048,
+        train_ray_chunk=128,  # exercise the chunked-NFF train path
     )
     return ADPipeline(outputs, config)
 
