@@ -1,0 +1,89 @@
+"""Occupancy-grid ray marching (instant-ngp style VolumetricSampler).
+
+TPU-native counterpart of nerfacc's `OccGridEstimator` + the reference's
+`VolumetricSampler` (`model_components/ray_samplers.py:25,401-566`). nerfacc
+produces PACKED variable-length samples (dynamic shapes); on TPU the grid is a
+dense EMA'd density field and sampling stays fixed-shape: uniform candidates
+along each ray are importance-reweighted by grid occupancy, so empty space gets
+near-zero weight instead of being skipped (compute is static either way on TPU —
+masking buys the accuracy benefit without dynamic shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neurad_tpu.core.structs import RayBundle, RaySamples
+
+
+class OccupancyGridState(NamedTuple):
+    """EMA'd density grid over the scene aabb."""
+
+    densities: jnp.ndarray  # [R, R, R]
+    aabb: jnp.ndarray  # [2, 3]
+
+    @property
+    def resolution(self) -> int:
+        return self.densities.shape[0]
+
+
+def init_occupancy_grid(aabb: jnp.ndarray, resolution: int = 128) -> OccupancyGridState:
+    return OccupancyGridState(densities=jnp.zeros((resolution,) * 3), aabb=aabb)
+
+
+def update_occupancy_grid(
+    state: OccupancyGridState,
+    density_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    rng: jax.Array,
+    ema_decay: float = 0.95,
+) -> OccupancyGridState:
+    """EMA update from jittered cell-center density evals (OccGridEstimator
+    `update_every_n_steps` semantics)."""
+    r = state.resolution
+    idx = jnp.stack(
+        jnp.meshgrid(*[jnp.arange(r)] * 3, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    jitter = jax.random.uniform(rng, idx.shape)
+    unit = (idx + jitter) / r
+    pos = state.aabb[0] + unit * (state.aabb[1] - state.aabb[0])
+    dens = density_fn(pos).reshape((r,) * 3)
+    new = jnp.maximum(state.densities * ema_decay, dens)
+    return state._replace(densities=new)
+
+
+def occupancy_at(state: OccupancyGridState, positions: jnp.ndarray, threshold: float = 0.01) -> jnp.ndarray:
+    """Binary occupancy lookup for world positions [..., 3]."""
+    unit = (positions - state.aabb[0]) / (state.aabb[1] - state.aabb[0])
+    r = state.resolution
+    idx = jnp.clip((unit * r).astype(jnp.int32), 0, r - 1)
+    dens = state.densities[idx[..., 0], idx[..., 1], idx[..., 2]]
+    inside = jnp.all((unit >= 0) & (unit < 1), axis=-1)
+    return (dens > threshold) & inside
+
+
+def volumetric_sampler(
+    bundle: RayBundle,
+    grid: OccupancyGridState,
+    num_samples: int = 256,
+    key: Optional[jax.Array] = None,
+    threshold: float = 0.01,
+) -> Tuple[RaySamples, jnp.ndarray]:
+    """Fixed-count occupancy-aware sampling (VolumetricSampler counterpart).
+
+    Two passes: coarse uniform probe of the grid along each ray, then an
+    inverse-CDF resample concentrated on occupied bins. Returns (samples,
+    occupied-mask [R, S] for zeroing shading of empty samples).
+    """
+    from neurad_tpu.model_components.ray_samplers import UNIFORM, pdf_sampler, spaced_sampler
+
+    probe = spaced_sampler(bundle, num_samples, UNIFORM, key=None)
+    pos = probe.frustums.get_positions()
+    occ = occupancy_at(grid, pos, threshold)  # [R, S]
+    # histogram weights: occupied bins get mass, empty bins epsilon
+    w = jnp.where(occ, 1.0, 1e-3)[..., None]
+    samples = pdf_sampler(bundle, probe, w, num_samples, UNIFORM, key=key)
+    occ_fine = occupancy_at(grid, samples.frustums.get_positions(), threshold)
+    return samples, occ_fine

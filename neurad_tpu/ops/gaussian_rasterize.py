@@ -169,6 +169,7 @@ def rasterize_camera(
     rolling_shutter_time: float = 0.0,
     rs_direction: str = "vertical",
     tile_chunk: int = 64,
+    backend: str = "xla",  # 'xla' | 'pallas' (VMEM-resident per-tile composite)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Rasterize projected gaussians to (features [H,W,C], depth [H,W,1],
     alpha [H,W,1]). gsplat-`rasterization` equivalent (render_mode RGB+ED)."""
@@ -203,34 +204,52 @@ def rasterize_camera(
     pix_times = (frac - 0.5) * rolling_shutter_time  # [T, P]
 
     opac = opacities * projected.compensations
+    cdim = features.shape[-1]
 
-    def chunk_fn(args):
-        tg, tv, pc, pt = args
-        return _composite(
-            pc,
-            pt,
+    if backend == "pallas":
+        from neurad_tpu.ops.pallas_composite import pallas_tile_composite
+
+        tg = binning.tile_gauss  # [T, K]
+        feat, depth, alpha = pallas_tile_composite(
+            pix,
+            pix_times[..., None],
             projected.means2d[tg],
             projected.vel2d[tg],
             projected.conics[tg],
-            opac[tg],
+            opac[tg][..., None],
             features[tg],
-            projected.depths[tg],
-            projected.depth_vel[tg],
-            tv,
-        )[:3]
+            projected.depths[tg][..., None],
+            projected.depth_vel[tg][..., None],
+            binning.tile_valid.astype(jnp.float32)[..., None],
+        )
+    else:
 
-    # pad tiles to a multiple of tile_chunk and map over chunks
-    pad = (-t_total) % tile_chunk
-    def padded(x):
-        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0) if pad else x
+        def chunk_fn(args):
+            tg, tv, pc, pt = args
+            return _composite(
+                pc,
+                pt,
+                projected.means2d[tg],
+                projected.vel2d[tg],
+                projected.conics[tg],
+                opac[tg],
+                features[tg],
+                projected.depths[tg],
+                projected.depth_vel[tg],
+                tv,
+            )[:3]
 
-    tg = padded(binning.tile_gauss).reshape(-1, tile_chunk, max_per_tile)
-    tv = padded(binning.tile_valid).reshape(-1, tile_chunk, max_per_tile)
-    pc = padded(pix).reshape(-1, tile_chunk, p, 2)
-    pt = padded(pix_times).reshape(-1, tile_chunk, p)
+        # pad tiles to a multiple of tile_chunk and map over chunks
+        pad = (-t_total) % tile_chunk
+        def padded(x):
+            return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0) if pad else x
 
-    feat, depth, alpha = jax.lax.map(jax.checkpoint(chunk_fn), (tg, tv, pc, pt))
-    cdim = features.shape[-1]
+        tg = padded(binning.tile_gauss).reshape(-1, tile_chunk, max_per_tile)
+        tv = padded(binning.tile_valid).reshape(-1, tile_chunk, max_per_tile)
+        pc = padded(pix).reshape(-1, tile_chunk, p, 2)
+        pt = padded(pix_times).reshape(-1, tile_chunk, p)
+
+        feat, depth, alpha = jax.lax.map(jax.checkpoint(chunk_fn), (tg, tv, pc, pt))
 
     def to_image(x, c):
         x = x.reshape(-1, p, c)[:t_total]  # [T, P, C]

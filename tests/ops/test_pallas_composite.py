@@ -1,0 +1,60 @@
+"""Pallas tile-composite kernel: equivalence vs the XLA path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurad_tpu.ops.gaussian_rasterize import rasterize_camera
+from neurad_tpu.ops.gaussians import project_gaussians_camera, quat_scale_to_covariance
+
+ID_QUAT = jnp.array([1.0, 0.0, 0.0, 0.0])
+
+
+def _scene(n=24, seed=0):
+    rng = np.random.default_rng(seed)
+    means = jnp.asarray(
+        np.concatenate([rng.normal(size=(n, 2)) * 2, rng.uniform(4, 20, (n, 1))], axis=-1).astype(np.float32)
+    )
+    covs = quat_scale_to_covariance(
+        jnp.broadcast_to(ID_QUAT, (n, 4)), jnp.asarray(rng.uniform(0.3, 1.0, (n, 3)).astype(np.float32))
+    )
+    K = jnp.array([[40.0, 0.0, 24.0], [0.0, 40.0, 16.0], [0.0, 0.0, 1.0]])
+    proj = project_gaussians_camera(means, covs, jnp.eye(4), K, 48, 32)
+    feats = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32))
+    return proj, feats, opac
+
+
+def test_pallas_matches_xla_forward():
+    proj, feats, opac = _scene()
+    args = dict(width=48, height=32, tile_size=16, max_per_tile=16)
+    img_x, dep_x, al_x = rasterize_camera(proj, feats, opac, **args, backend="xla")
+    img_p, dep_p, al_p = rasterize_camera(proj, feats, opac, **args, backend="pallas")
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dep_p), np.asarray(dep_x), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(al_p), np.asarray(al_x), atol=2e-5)
+
+
+def test_pallas_matches_xla_grads():
+    proj, feats, opac = _scene()
+
+    def loss(feats, opac, backend):
+        img, dep, al = rasterize_camera(
+            proj, feats, opac, width=48, height=32, tile_size=16, max_per_tile=16, backend=backend
+        )
+        return jnp.sum(img**2) + jnp.sum(al)
+
+    gx = jax.grad(loss, argnums=(0, 1))(feats, opac, "xla")
+    gp = jax.grad(loss, argnums=(0, 1))(feats, opac, "pallas")
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), atol=5e-4, rtol=1e-3)
+
+
+def test_pallas_rolling_shutter():
+    proj, feats, opac = _scene()
+    # nonzero per-gaussian velocity + rs time shifts output; paths must agree
+    proj = proj._replace(vel2d=jnp.full_like(proj.vel2d, 5.0))
+    args = dict(width=48, height=32, tile_size=16, max_per_tile=16, rolling_shutter_time=0.05)
+    img_x, _, _ = rasterize_camera(proj, feats, opac, **args, backend="xla")
+    img_p, _, _ = rasterize_camera(proj, feats, opac, **args, backend="pallas")
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x), atol=2e-5)
