@@ -49,6 +49,7 @@ def main():
         model_overrides=dict(
             sampling=SamplingSettings(),  # (128, 64) proposals, 32 nerf samples
         ),
+        train_ray_chunk=4096,  # fits one v5e's HBM (see ops/chunking.py)
     )
     pipe = ADPipeline(outputs, config)
     state, tx = pipe.init_state()

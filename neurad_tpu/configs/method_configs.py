@@ -194,4 +194,12 @@ def get_dataparser(name: str, **kwargs):
         from neurad_tpu.data.dataparsers.argoverse2 import Argoverse2DataParserConfig
 
         return Argoverse2DataParserConfig(**kwargs).setup()
+    if name == "zod":
+        from neurad_tpu.data.dataparsers.zod import ZodDataParserConfig
+
+        return ZodDataParserConfig(**kwargs).setup()
+    if name == "waymo":
+        from neurad_tpu.data.dataparsers.waymo import WaymoDataParserConfig
+
+        return WaymoDataParserConfig(**kwargs).setup()
     raise KeyError(f"unknown dataparser {name!r}")

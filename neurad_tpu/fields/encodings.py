@@ -32,30 +32,40 @@ class HashEncoding(nn.Module):
     features_per_level: int = 2
     n_input_dims: int = 3
     hash_init_scale: float = 0.001
+    cell_packed: bool = False  # TPU fast path: one row per cell (see ops/hash_encoding)
 
     @property
     def out_dim(self) -> int:
         return self.num_levels * self.features_per_level
 
     def setup(self):
-        self.table_size = 2**self.log2_hashmap_size
+        # cell packing widens rows by 2^D; entries divide by 2^D for constant bytes
+        packing = 2**self.n_input_dims if self.cell_packed else 1
+        self.table_size = max(2**self.log2_hashmap_size // packing, 1)
         self.scales = jnp.asarray(he.level_scales(self.num_levels, self.min_res, self.max_res))
         self.hash_table = self.param(
             "hash_table",
             lambda key: he.init_hash_table(
-                key, self.num_levels, self.table_size, self.features_per_level, self.hash_init_scale
+                key, self.num_levels, self.table_size, self.features_per_level, self.hash_init_scale,
+                corners_packed=packing,
             ),
         )
 
     def __call__(self, positions) -> jnp.ndarray:
         if isinstance(positions, GaussiansStd):
             return he.hash_encode_gaussians(
-                positions.mean, positions.std, self.hash_table, self.scales, self.table_size
+                positions.mean, positions.std, self.hash_table, self.scales, self.table_size,
+                cell_packed=self.cell_packed,
             )
-        return he.hash_encode(positions, self.hash_table, self.scales, self.table_size)
+        return he.hash_encode(
+            positions, self.hash_table, self.scales, self.table_size, cell_packed=self.cell_packed
+        )
 
     def encode_with_level_weights(self, positions: jnp.ndarray, level_weights: Optional[jnp.ndarray]) -> jnp.ndarray:
-        return he.hash_encode(positions, self.hash_table, self.scales, self.table_size, level_weights)
+        return he.hash_encode(
+            positions, self.hash_table, self.scales, self.table_size, level_weights,
+            cell_packed=self.cell_packed,
+        )
 
 
 class SHEncoding(nn.Module):

@@ -40,10 +40,21 @@ def level_scales(num_levels: int, min_res: int, max_res: int) -> np.ndarray:
 
 
 def init_hash_table(
-    key: jax.Array, num_levels: int, table_size: int, features_per_level: int, scale: float = 0.001
+    key: jax.Array,
+    num_levels: int,
+    table_size: int,
+    features_per_level: int,
+    scale: float = 0.001,
+    corners_packed: int = 1,
 ) -> jnp.ndarray:
-    """Uniform(-1, 1) * scale init (`encodings.py:382-386`)."""
-    shape = (num_levels * table_size, features_per_level)
+    """Uniform(-1, 1) * scale init (`encodings.py:382-386`).
+
+    corners_packed=2^D stores all corner features of a CELL in one row (row
+    width 2^D * F): one gather per (sample, level) instead of 2^D — the
+    TPU-native layout, since XLA's gather is row-latency-bound (~23ns/row on
+    v5e regardless of row width up to ~32B).
+    """
+    shape = (num_levels * table_size, features_per_level * corners_packed)
     return (jax.random.uniform(key, shape, minval=-1.0, maxval=1.0) * scale).astype(jnp.float32)
 
 
@@ -94,6 +105,7 @@ def hash_encode(
     table_size: int,
     level_weights: Optional[jnp.ndarray] = None,
     gather_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+    cell_packed: bool = False,
 ) -> jnp.ndarray:
     """Multi-level hash lookup with D-linear interpolation.
 
@@ -107,13 +119,18 @@ def hash_encode(
         gather_dtype: dtype for the table READ. bf16 halves HBM traffic on the
             gather — the op's bottleneck — matching tcnn's fp16 feature storage
             while the master table (and its gradients) stay fp32. None = fp32.
+        cell_packed: table rows hold all 2^D corner features of a cell
+            (one gather per sample-level, the TPU-native fast path; corner
+            features are per-cell, i.e. not shared across cell faces — the MLP
+            absorbs the resulting discontinuity like it absorbs hash collisions).
 
     Returns:
         [..., num_levels * F] encoded features (fp32).
     """
     num_levels = scales.shape[0]
-    f = table.shape[-1]
     d = positions.shape[-1]
+    n_corners = 2**d
+    f = table.shape[-1] // (n_corners if cell_packed else 1)
     corners = jnp.asarray(_corner_offsets(d))  # [C, D], C = 2^D
 
     scaled = positions[..., None, :] * scales[:, None]  # [..., L, D]
@@ -121,17 +138,26 @@ def hash_encode(
     offset = scaled - floor  # [..., L, D] in [0,1)
     floor_i = floor.astype(jnp.int32)
 
-    # corner coords: floor + {0,1}^D  -> [..., L, C, D]
-    corner_coords = floor_i[..., None, :] + corners
-    hashed = _hash(corner_coords, table_size)  # [..., L, C]
-    level_offset = (jnp.arange(num_levels, dtype=jnp.int32) * table_size)[:, None]
-    idx = hashed + level_offset  # [..., L, C]
-
-    if gather_dtype is not None:
-        flat_feats = _gather_bf16_fwd_fp32_bwd(table, idx.reshape(-1))
+    level_offset = jnp.arange(num_levels, dtype=jnp.int32) * table_size
+    if cell_packed:
+        # one row per CELL: [..., L] gathers of 2^D * F features
+        hashed = _hash(floor_i, table_size)  # [..., L]
+        idx = hashed + level_offset
+        if gather_dtype is not None:
+            flat_feats = _gather_bf16_fwd_fp32_bwd(table, idx.reshape(-1))
+        else:
+            flat_feats = jnp.take(table, idx.reshape(-1), axis=0)
+        feats = flat_feats.reshape(idx.shape + (n_corners, f))  # [..., L, C, F]
     else:
-        flat_feats = jnp.take(table, idx.reshape(-1), axis=0)
-    feats = flat_feats.reshape(idx.shape + (f,))  # [..., L, C, F]
+        # corner coords: floor + {0,1}^D  -> [..., L, C, D]
+        corner_coords = floor_i[..., None, :] + corners
+        hashed = _hash(corner_coords, table_size)  # [..., L, C]
+        idx = hashed + level_offset[:, None]  # [..., L, C]
+        if gather_dtype is not None:
+            flat_feats = _gather_bf16_fwd_fp32_bwd(table, idx.reshape(-1))
+        else:
+            flat_feats = jnp.take(table, idx.reshape(-1), axis=0)
+        feats = flat_feats.reshape(idx.shape + (f,))  # [..., L, C, F]
 
     # D-linear interpolation weights: prod over dims of (offset if corner bit else 1-offset)
     w = jnp.where(corners.astype(bool), offset[..., None, :], 1.0 - offset[..., None, :])  # [..., L, C, D]
@@ -161,6 +187,7 @@ def hash_encode_gaussians(
     table: jnp.ndarray,
     scales: jnp.ndarray,
     table_size: int,
+    cell_packed: bool = False,
 ) -> jnp.ndarray:
     """Encode multisampled gaussians and average over multisamples
     (`neurad_encoding.py:265-268,297-304`).
@@ -172,7 +199,9 @@ def hash_encode_gaussians(
         [..., num_levels * F] features averaged over the M multisamples.
     """
     w = gaussian_level_weights(gauss_std, scales)  # [..., M, L]
-    feats = hash_encode(gauss_mean, table, scales, table_size, level_weights=w)  # [..., M, L*F]
+    feats = hash_encode(
+        gauss_mean, table, scales, table_size, level_weights=w, cell_packed=cell_packed
+    )  # [..., M, L*F]
     return feats.mean(axis=-2)
 
 
