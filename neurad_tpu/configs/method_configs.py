@@ -146,8 +146,34 @@ def _splatad_tiny() -> MethodConfig:
     )
 
 
+def _nerfacto(lidar: bool = False, name: str = "nerfacto") -> MethodConfig:
+    """The nerfacto / lidar-nerfacto presets (`method_configs.py:60-200`)."""
+    return MethodConfig(
+        method_name=name,
+        description="Nerfacto: hashgrid field + proposal density fields"
+        + (" + lidar depth loss" if lidar else ""),
+        trainer=TrainerConfig(max_num_iterations=30001, steps_per_eval_batch=500, steps_per_save=2000),
+        pipeline=ADPipelineConfig(
+            datamanager=ADDataManagerConfig(
+                num_cam_patches=64, patch_size=8, num_lidar_rays=4096 if lidar else 0,
+                rgb_upsample_factor=1,
+            ),
+            model="lidar-nerfacto" if lidar else "nerfacto",
+            optimizer_groups={
+                "fields": OptimizerGroupConfig(lr=1e-2, lr_final=1e-4, max_steps=30001),
+                "hashgrids": OptimizerGroupConfig(lr=1e-2, lr_final=1e-4, max_steps=30001),
+                "camera_opt": OptimizerGroupConfig(lr=1e-4, lr_final=1e-5, warmup_steps=2500),
+                "trajectory_opt": OptimizerGroupConfig(lr=1e-3),
+                "cnn": OptimizerGroupConfig(lr=1e-3),
+            },
+        ),
+    )
+
+
 _REGISTRY: Dict[str, Callable[[], MethodConfig]] = {
     "neurad": _neurad,
+    "nerfacto": _nerfacto,
+    "nerfacto-lidar": lambda: _nerfacto(lidar=True, name="nerfacto-lidar"),
     "neurad-tiny": _neurad_tiny,
     "neurad-paper": lambda: _scaled(_neurad(), 4.0, "neurad-paper"),
     "neurader": lambda: _scaled(_neurad(), 2.0, "neurader"),

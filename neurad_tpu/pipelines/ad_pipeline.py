@@ -29,6 +29,7 @@ from neurad_tpu.models.neurad import NeuRADModel
 @dataclasses.dataclass
 class ADPipelineConfig:
     datamanager: ADDataManagerConfig = dataclasses.field(default_factory=ADDataManagerConfig)
+    model: str = "neurad"  # 'neurad' | 'nerfacto' | 'lidar-nerfacto'
     model_overrides: dict = dataclasses.field(default_factory=dict)
     optimizer_groups: dict = dataclasses.field(default_factory=lambda: dict(NEURAD_OPTIMIZER_GROUPS))
     eval_chunk: int = 1 << 15
@@ -51,21 +52,37 @@ class ADPipeline:
             actor_data_from_trajectories(outputs.trajectories) if outputs.trajectories else empty_actor_data()
         )
         static_scale = float(np.abs(np.asarray(outputs.scene_box.aabb)).max())
-        model_kwargs = dict(
-            actor_data=actor_data,
-            static_scale=static_scale,
-            num_sensors=len(outputs.sensor_idx_to_name),
-            duration=outputs.duration,
-            num_train_images=len(outputs.images),
-            rgb_upsample_factor=self.config.datamanager.rgb_upsample_factor,
-        )
-        model_kwargs.update(self.config.model_overrides)
-        self.model = NeuRADModel(**model_kwargs)
+        if self.config.model in ("nerfacto", "lidar-nerfacto"):
+            from neurad_tpu.models.nerfacto import NerfactoModel
+
+            aabb = tuple(map(tuple, np.asarray(outputs.scene_box.aabb).tolist()))
+            model_kwargs = dict(
+                aabb=aabb,
+                num_images=len(outputs.images),
+                use_lidar_losses=self.config.model == "lidar-nerfacto",
+            )
+            model_kwargs.update(self.config.model_overrides)
+            self.model = NerfactoModel(**model_kwargs)
+        else:
+            model_kwargs = dict(
+                actor_data=actor_data,
+                static_scale=static_scale,
+                num_sensors=len(outputs.sensor_idx_to_name),
+                duration=outputs.duration,
+                num_train_images=len(outputs.images),
+                rgb_upsample_factor=self.config.datamanager.rgb_upsample_factor,
+            )
+            model_kwargs.update(self.config.model_overrides)
+            self.model = NeuRADModel(**model_kwargs)
 
         self.num_cam_rays = self.datamanager.num_cam_rays
         self.patch_size = self.datamanager.patch_shape
 
     # ------------------------------------------------------------------
+
+    @property
+    def _is_nerfacto(self) -> bool:
+        return self.config.model in ("nerfacto", "lidar-nerfacto")
 
     def init_state(self, rng: Optional[jax.Array] = None) -> Tuple[TrainState, object]:
         rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
@@ -74,11 +91,15 @@ class ADPipeline:
 
         # jit the init: flax init otherwise dispatches thousands of tiny eager
         # ops — pathological over the remote-TPU tunnel
-        @jax.jit
-        def _init(ir, fr, b):
-            return self.model.init(
-                ir, b, self.patch_size, self.num_cam_rays, True, fr, method=NeuRADModel.get_outputs
-            )
+        if self._is_nerfacto:
+            _init = jax.jit(lambda ir, fr, b: self.model.init(ir, b, True, fr))
+        else:
+
+            @jax.jit
+            def _init(ir, fr, b):
+                return self.model.init(
+                    ir, b, self.patch_size, self.num_cam_rays, True, fr, method=NeuRADModel.get_outputs
+                )
 
         params = _init(init_rng, flip_rng, bundle)
         tx, opt_state = build_optimizer(params, self.config.optimizer_groups)
@@ -86,6 +107,15 @@ class ADPipeline:
         return state, tx
 
     def loss_fn(self, params, bundle: RayBundle, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        if self._is_nerfacto:
+            from neurad_tpu.models.nerfacto import NerfactoModel
+
+            out = self.model.apply(params, bundle, True, rng)
+            nb = dict(batch)
+            if "image" in nb:  # per-ray GT: patches are 1:1 pixels for nerfacto
+                nb["image"] = nb["image"].reshape(-1, 3)[: self.num_cam_rays]
+                out = {**out, "rgb": out["rgb"][: self.num_cam_rays]}
+            return self.model.apply(params, out, nb, method=NerfactoModel.compute_losses)
         chunk = self.config.train_ray_chunk
         if chunk and bundle.origins.shape[0] > chunk:
             from neurad_tpu.ops.chunking import chunked_map
