@@ -148,6 +148,64 @@ def pdf_sampler(
     )
 
 
+def merge_ray_samples_sorted(a: RaySamples, b: RaySamples) -> RaySamples:
+    """Merge two sample sets per ray, sorted by depth (static-shape counterpart of
+    `cameras/rays.py:370-393` merge_raysamples: same rays, concatenated sample
+    axes, re-sorted by frustum start)."""
+    import jax
+
+    starts = jnp.concatenate([a.frustums.starts, b.frustums.starts], axis=-2)
+    order = jnp.argsort(starts[..., 0], axis=-1)
+
+    def sort_leaf(xa, xb):
+        x = jnp.concatenate([xa, xb], axis=-2)
+        return jnp.take_along_axis(x, order[..., None], axis=-2)
+
+    merged = jax.tree.map(sort_leaf, a, b)
+    # recompute deltas from the sorted bin edges
+    new_starts = merged.frustums.starts
+    new_ends = merged.frustums.ends
+    return merged.replace(deltas=new_ends - new_starts)
+
+
+def neus_sampler(
+    bundle: RayBundle,
+    sdf_fn,
+    num_samples: int = 64,
+    num_samples_importance: int = 64,
+    num_upsample_steps: int = 4,
+    base_variance: float = 64.0,
+    key: Optional[jax.Array] = None,
+    single_jitter: bool = True,
+) -> RaySamples:
+    """NeuS SDF-guided hierarchical sampling (`ray_samplers.py:669-836`),
+    static-shape: fixed upsample rounds, alphas from the s-density of the SDF,
+    PDF resampling merged+sorted per round."""
+    samples = spaced_sampler(bundle, num_samples, UNIFORM, key=key, single_jitter=single_jitter)
+    n_extra = num_samples_importance // num_upsample_steps
+    keys = jax.random.split(key, num_upsample_steps) if key is not None else [None] * num_upsample_steps
+    for step in range(num_upsample_steps):
+        sdf = jax.lax.stop_gradient(sdf_fn(samples))  # [R, S, 1]
+        inv_s = base_variance * 2**step
+        # NeuS section 3.2 alpha from adjacent SDF estimates
+        prev_sdf, next_sdf = sdf[..., :-1, :], sdf[..., 1:, :]
+        deltas = samples.deltas[..., :-1, :]
+        mid_sdf = (prev_sdf + next_sdf) * 0.5
+        cos_val = jnp.clip((next_sdf - prev_sdf) / jnp.clip(deltas, 1e-6, None), -1e3, 0.0)
+        prev_esti = mid_sdf - cos_val * deltas * 0.5
+        next_esti = mid_sdf + cos_val * deltas * 0.5
+        prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+        next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+        alphas = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+        weights, _ = RaySamples.get_weights_and_transmittance_from_alphas(alphas)
+        new = pdf_sampler(
+            bundle, samples, weights, n_extra, UNIFORM, key=keys[step], single_jitter=single_jitter,
+            histogram_padding=1e-5,
+        )
+        samples = merge_ray_samples_sorted(samples, new)
+    return samples
+
+
 def proposal_sampler(
     bundle: RayBundle,
     density_fns: Sequence[Callable[[RaySamples], jnp.ndarray]],

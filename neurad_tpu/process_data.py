@@ -1,0 +1,119 @@
+"""Data ingestion: images/video -> trainable dataset.
+
+TPU-native counterpart of `nerfstudio/process_data/` (COLMAP/video/polycam
+ingestion, 3312 LoC — "mostly irrelevant for AD" per SURVEY.md §1). Like the
+reference, SfM shells out to the `colmap` binary and frame extraction to
+`ffmpeg` (gated: helpful errors when absent). A pure-python path ingests the
+nerfstudio `transforms.json` convention directly.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+
+def require_tool(name: str) -> str:
+    path = shutil.which(name)
+    if path is None:
+        raise RuntimeError(
+            f"`{name}` is required for this ingestion path but is not installed. "
+            f"Install it or provide a pre-computed transforms.json."
+        )
+    return path
+
+
+def extract_frames(video: str, out_dir: str, fps: float = 2.0) -> int:
+    """Video -> frames via ffmpeg (`process_data/process_data_utils.py`)."""
+    ffmpeg = require_tool("ffmpeg")
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    subprocess.run(
+        [ffmpeg, "-i", video, "-vf", f"fps={fps}", str(out / "frame_%05d.png")], check=True
+    )
+    return len(list(out.glob("frame_*.png")))
+
+
+def run_colmap(image_dir: str, workspace: str) -> None:
+    """SfM via the colmap CLI (`process_data/colmap_utils.py`)."""
+    colmap = require_tool("colmap")
+    ws = Path(workspace)
+    ws.mkdir(parents=True, exist_ok=True)
+    db = ws / "database.db"
+    subprocess.run([colmap, "feature_extractor", "--database_path", db, "--image_path", image_dir], check=True)
+    subprocess.run([colmap, "exhaustive_matcher", "--database_path", db], check=True)
+    sparse = ws / "sparse"
+    sparse.mkdir(exist_ok=True)
+    subprocess.run(
+        [colmap, "mapper", "--database_path", db, "--image_path", image_dir, "--output_path", sparse],
+        check=True,
+    )
+
+
+def load_transforms_json(path: str):
+    """nerfstudio-convention transforms.json -> (Cameras, images list).
+
+    The pure-python ingestion path: frames with `transform_matrix` (OpenGL c2w)
+    and shared or per-frame intrinsics.
+    """
+    import imageio.v2 as imageio
+    import jax.numpy as jnp
+
+    from neurad_tpu.cameras.cameras import CameraType, Cameras
+
+    meta = json.loads(Path(path).read_text())
+    root = Path(path).parent
+    frames = meta["frames"]
+    poses, fx, fy, cx, cy, w, h, images = [], [], [], [], [], [], [], []
+    for f in frames:
+        m = np.asarray(f["transform_matrix"], dtype=np.float32)
+        poses.append(m[:3, :4])
+        fx.append(f.get("fl_x", meta.get("fl_x")))
+        fy.append(f.get("fl_y", meta.get("fl_y")))
+        cx.append(f.get("cx", meta.get("cx")))
+        cy.append(f.get("cy", meta.get("cy")))
+        w.append(int(f.get("w", meta.get("w"))))
+        h.append(int(f.get("h", meta.get("h"))))
+        images.append(np.asarray(imageio.imread(root / f["file_path"])))
+    n = len(frames)
+    cameras = Cameras(
+        camera_to_worlds=jnp.asarray(np.stack(poses)),
+        fx=jnp.asarray(np.asarray(fx, np.float32)[:, None]),
+        fy=jnp.asarray(np.asarray(fy, np.float32)[:, None]),
+        cx=jnp.asarray(np.asarray(cx, np.float32)[:, None]),
+        cy=jnp.asarray(np.asarray(cy, np.float32)[:, None]),
+        width=jnp.asarray(np.asarray(w)[:, None], dtype=jnp.int32),
+        height=jnp.asarray(np.asarray(h)[:, None], dtype=jnp.int32),
+        camera_type=jnp.full((n, 1), int(CameraType.PERSPECTIVE), dtype=jnp.int32),
+        times=jnp.linspace(0.0, 1.0, n)[:, None],
+        metadata={"sensor_idxs": jnp.zeros((n, 1), dtype=jnp.int32)},
+    )
+    return cameras, images
+
+
+def entrypoint(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Ingest images/video into a dataset")
+    parser.add_argument("mode", choices=["video", "images", "transforms"])
+    parser.add_argument("source")
+    parser.add_argument("--output-dir", default="data/processed")
+    args = parser.parse_args(argv)
+    if args.mode == "video":
+        n = extract_frames(args.source, args.output_dir + "/images")
+        print(f"extracted {n} frames; run colmap via mode=images next")
+    elif args.mode == "images":
+        run_colmap(args.source, args.output_dir + "/colmap")
+        print("colmap sparse reconstruction complete")
+    else:
+        cams, imgs = load_transforms_json(args.source)
+        print(f"loaded {len(imgs)} frames from {args.source}")
+
+
+if __name__ == "__main__":
+    entrypoint()

@@ -64,11 +64,41 @@ def export_gaussian_splat(params: dict, out_path: Path):
     return means.shape[0]
 
 
+def export_tsdf_mesh(pipeline, state, out_path: Path, resolution: int = 128):
+    """Render eval-camera depths, TSDF-fuse, marching-tetrahedra mesh
+    (`exporter.py` tsdf path)."""
+    from neurad_tpu.exporter.tsdf import marching_tetrahedra, tsdf_fuse, write_mesh_ply
+
+    depths, Ks, c2ws = [], [], []
+    cams = pipeline.outputs.cameras
+    for ci in pipeline.outputs.eval_camera_indices:
+        bundle, _, (hs, ws) = pipeline.datamanager.eval_camera_bundle(ci)
+        nff = pipeline._chunked_nff(state.params, bundle, all_camera=True)
+        depths.append(np.asarray(nff["depth"]).reshape(hs, ws))
+        up = pipeline.config.datamanager.rgb_upsample_factor
+        Ks.append(
+            np.array(
+                [
+                    [float(cams.fx[ci, 0]) / up, 0, float(cams.cx[ci, 0]) / up],
+                    [0, float(cams.fy[ci, 0]) / up, float(cams.cy[ci, 0]) / up],
+                    [0, 0, 1],
+                ]
+            )
+        )
+        c2ws.append(np.asarray(cams.camera_to_worlds[ci]))
+    aabb = np.asarray(pipeline.outputs.scene_box.aabb)
+    tsdf, weights = tsdf_fuse(depths, Ks, c2ws, aabb, resolution=resolution)
+    verts, faces = marching_tetrahedra(tsdf, aabb, mask=weights > 0)
+    write_mesh_ply(out_path, verts, faces)
+    return len(verts), len(faces)
+
+
 def entrypoint(argv=None):
     parser = argparse.ArgumentParser(description="Export from a trained neurad_tpu run")
-    parser.add_argument("mode", choices=["pointcloud", "gaussian-splat", "camera-poses"])
+    parser.add_argument("mode", choices=["pointcloud", "gaussian-splat", "camera-poses", "tsdf-mesh"])
     parser.add_argument("run_dir")
     parser.add_argument("--output", default=None)
+    parser.add_argument("--resolution", type=int, default=128)
     args = parser.parse_args(argv)
 
     from neurad_tpu.scripts.eval import load_run
@@ -79,6 +109,9 @@ def entrypoint(argv=None):
     if args.mode == "pointcloud":
         n = export_pointcloud(pipeline, state, out)
         print(f"[nt-export] wrote {n} points to {out}")
+    elif args.mode == "tsdf-mesh":
+        nv, nf = export_tsdf_mesh(pipeline, state, out, resolution=args.resolution)
+        print(f"[nt-export] wrote mesh with {nv} verts / {nf} faces to {out}")
     elif args.mode == "gaussian-splat":
         n = export_gaussian_splat(state.params, out)
         print(f"[nt-export] wrote {n} gaussians to {out}")
