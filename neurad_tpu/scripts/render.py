@@ -26,6 +26,8 @@ def entrypoint(argv=None):
     parser.add_argument("--cameras", default="eval", choices=["eval", "train", "all"])
     parser.add_argument("--lidar", action="store_true", help="also render lidar point clouds (.npz)")
     parser.add_argument("--shift", type=float, default=0.0, help="lateral ray-origin shift in meters (FID-style lane shift)")
+    parser.add_argument("--interpolate", type=int, default=0,
+                        help="render an interpolated path with N steps between consecutive train cameras")
     args = parser.parse_args(argv)
 
     from neurad_tpu.scripts.eval import load_run
@@ -57,6 +59,25 @@ def entrypoint(argv=None):
         pred, gt = pipeline.render_eval_camera(state, ci)
         _save_image(out_dir / f"camera_{ci:04d}.png", pred)
         _save_image(out_dir / f"camera_{ci:04d}_gt.png", gt)
+
+    if args.interpolate > 0:
+        # smooth interpolated camera path (`render.py:415-550` interpolated mode)
+        from neurad_tpu.cameras.camera_utils import get_interpolated_poses
+
+        cams = outputs.cameras
+        c2w = np.asarray(cams.camera_to_worlds)
+        frame = 0
+        for a, b in zip(cam_indices[:-1], cam_indices[1:]):
+            path = get_interpolated_poses(c2w[a], c2w[b], steps=args.interpolate)
+            for pose in path:
+                patched = c2w.copy()
+                patched[a] = pose
+                pipeline.outputs.cameras = cams.replace(camera_to_worlds=jnp.asarray(patched))
+                pipeline.datamanager.outputs.cameras = pipeline.outputs.cameras
+                pred, _ = pipeline.render_eval_camera(state, a)
+                _save_image(out_dir / f"path_{frame:05d}.png", pred)
+                frame += 1
+        print(f"[nt-render] wrote {frame} path frames")
 
     if args.lidar:
         for si in outputs.eval_lidar_indices:

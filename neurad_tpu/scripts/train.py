@@ -48,6 +48,8 @@ def entrypoint(argv=None):
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--multihost", action="store_true", help="jax.distributed.initialize() for pods")
     parser.add_argument("--mesh", action="store_true", help="shard ray batches over all local devices")
+    parser.add_argument("--viewer", action="store_true", help="serve the live browser viewer during training")
+    parser.add_argument("--viewer-port", type=int, default=7007)
     parser.add_argument("--set", action="append", default=[], metavar="PATH=VALUE", help="config override")
     args = parser.parse_args(argv)
 
@@ -122,6 +124,39 @@ def entrypoint(argv=None):
         eval_fn=pipeline.eval_metrics,
         writer=writer,
     )
+
+    if args.viewer:
+        # live viewer rendering against the CURRENT train state, under a lock
+        # shared with the step loop (the reference's train_lock, `trainer.py:171`)
+        import numpy as np
+        import jax.numpy as jnp
+
+        from neurad_tpu.cameras.cameras import CameraType, Cameras, full_image_coords, generate_rays
+        from neurad_tpu.models.neurad import NeuRADModel
+        from neurad_tpu.viewer.server import ViewerServer
+
+        def render_fn(c2w, width, height, t01):
+            focal = 0.7 * width
+            cams = Cameras(
+                camera_to_worlds=jnp.asarray(c2w)[None],
+                fx=jnp.full((1, 1), focal), fy=jnp.full((1, 1), focal),
+                cx=jnp.full((1, 1), width / 2.0), cy=jnp.full((1, 1), height / 2.0),
+                width=jnp.full((1, 1), width, dtype=jnp.int32),
+                height=jnp.full((1, 1), height, dtype=jnp.int32),
+                camera_type=jnp.full((1, 1), int(CameraType.PERSPECTIVE), dtype=jnp.int32),
+                times=jnp.full((1, 1), t01 * pipeline.outputs.duration),
+            )
+            coords = full_image_coords(height, width)
+            bundle = generate_rays(cams, jnp.zeros(coords.shape[0], dtype=jnp.int32), coords)
+            nff = pipeline._chunked_nff(trainer.state.params, bundle, all_camera=True)
+            rgb = pipeline.model.apply(
+                trainer.state.params, nff["features"], (height, width), height * width,
+                method=NeuRADModel.decode_features,
+            )[0]
+            return np.asarray(rgb[0])
+
+        ViewerServer(render_fn, port=args.viewer_port).start(background=True)
+
     metrics = trainer.train()
     print(f"[nt-train] done: {json.dumps(metrics)}")
     return trainer
