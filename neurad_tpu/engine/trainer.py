@@ -106,7 +106,7 @@ class Trainer:
         for i in range(n):
             bundle, batch = next(self.batch_iter)
             self.state, metrics = self.train_step(self.state, bundle, batch)
-            rays_done += bundle.origins.shape[0]
+            rays_done += bundle.origins.shape[0] if hasattr(bundle, "origins") else bundle.shape[0]
             step = int(i)
 
             if step % cfg.steps_per_log == 0 or step == n - 1:

@@ -59,3 +59,27 @@ def render_normals(weights: jnp.ndarray, normals: jnp.ndarray, normalize: bool =
     if normalize:
         n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8, None)
     return n
+
+
+def render_sh(
+    weights: jnp.ndarray, sh_coeffs: jnp.ndarray, directions: jnp.ndarray, levels: int
+) -> jnp.ndarray:
+    """SHRenderer (`renderers.py` SHRenderer): evaluate per-sample SH color at the
+    ray direction, then weight-accumulate. sh_coeffs [..., S, levels^2 * 3]."""
+    from neurad_tpu.ops.spherical_harmonics import components_from_spherical_harmonics
+
+    basis = components_from_spherical_harmonics(levels, directions)  # [..., levels^2]
+    coeffs = sh_coeffs.reshape(sh_coeffs.shape[:-1] + (levels**2, 3))
+    rgb = jnp.einsum("...k,...kc->...c", basis[..., None, :].repeat(coeffs.shape[-3], -2), coeffs)
+    rgb = jnp.clip(rgb + 0.5, 0.0, 1.0)
+    return R.accumulate_along_rays(weights, rgb)
+
+
+def render_uncertainty(weights: jnp.ndarray, betas: jnp.ndarray) -> jnp.ndarray:
+    """UncertaintyRenderer (`renderers.py` UncertaintyRenderer): Σ w·β."""
+    return R.accumulate_along_rays(weights, betas)
+
+
+def render_semantics(weights: jnp.ndarray, semantics: jnp.ndarray) -> jnp.ndarray:
+    """SemanticRenderer (`renderers.py` SemanticRenderer): Σ w·logits."""
+    return R.accumulate_along_rays(weights, semantics)
