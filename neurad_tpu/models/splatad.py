@@ -171,6 +171,7 @@ class SplatADConfig:
     lidar_tile_azim: float = 2.0
     lidar_tile_elev: float = 2.0
     lidar_max_per_tile: int = 128
+    rasterize_backend: str = "xla"  # 'xla' | 'pallas' (VMEM-resident compositing)
 
 
 class SplatADModel(nn.Module):
@@ -318,6 +319,7 @@ class SplatADModel(nn.Module):
             max_per_tile=cfg.max_per_tile,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             rolling_shutter_time=rolling_shutter_time,
+            backend=cfg.rasterize_backend,
         )
 
         ray_dirs = self._ray_dirs(K, width, height, c2w)

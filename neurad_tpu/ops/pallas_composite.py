@@ -40,27 +40,58 @@ def _composite_fwd_kernel(
     alpha_out_ref,  # [P, 1]
 ):
     pix = pix_ref[:]  # [P, 2]
-    t = times_ref[:]  # [P, 1]
-    means = means_ref[:] [None, :, :] + vel_ref[:][None, :, :] * t[:, :, None]  # [P, K, 2]
-    d = pix[:, None, :] - means  # [P, K, 2]
-    a = conics_ref[:, 0][None, :]
-    b = conics_ref[:, 1][None, :]
-    c = conics_ref[:, 2][None, :]
+    t = times_ref[:, 0]  # [P]
+    # K-major layout: K on the sublane axis so the composite loop can slice it
+    # (Mosaic supports neither cumprod/cumsum nor value-level dynamic_slice, and
+    # lane-dim ref slicing is restricted — so alpha lives in a [K, P] scratch)
+    means = means_ref[:][:, None, :] + vel_ref[:][:, None, :] * t[None, :, None]  # [K, P, 2]
+    d = pix[None, :, :] - means  # [K, P, 2]
+    a = conics_ref[:, 0][:, None]
+    b = conics_ref[:, 1][:, None]
+    c = conics_ref[:, 2][:, None]
     sigma = 0.5 * (a * d[..., 0] ** 2 + c * d[..., 1] ** 2) + b * d[..., 0] * d[..., 1]
-    alpha = opac_ref[:, 0][None, :] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0))
+    alpha = opac_ref[:, 0][:, None] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0))
     alpha = jnp.clip(alpha, 0.0, 0.999)
-    alpha = jnp.where((valid_ref[:, 0][None, :] > 0) & (alpha >= 1.0 / 255.0), alpha, 0.0)  # [P, K]
+    alpha = jnp.where((valid_ref[:, 0][:, None] > 0) & (alpha >= 1.0 / 255.0), alpha, 0.0)  # [K, P]
+    g_depth = depth_ref[:, 0][:, None] + dvel_ref[:, 0][:, None] * t[None, :]  # [K, P]
 
-    one_minus = 1.0 - alpha
-    trans = jnp.concatenate(
-        [jnp.ones_like(one_minus[:, :1]), jnp.cumprod(one_minus, axis=-1)[:, :-1]], axis=-1
+    k_total = alpha.shape[0]
+    p = alpha.shape[1]
+    cdim = feats_ref.shape[-1]
+
+    def scoped(alpha_sc, depth_sc):
+        alpha_sc[:] = alpha
+        depth_sc[:] = g_depth
+        feats = feats_ref[:]  # [K, C]
+
+        def body(k, carry):
+            trans, feat_acc, depth_acc, alpha_acc = carry
+            a_k = alpha_sc[pl.ds(k, 1), :][0]  # [P]
+            w = a_k * trans
+            f_k = feats_ref[pl.ds(k, 1), :]  # [1, C]
+            feat_acc = feat_acc + w[:, None] * f_k
+            d_k = depth_sc[pl.ds(k, 1), :][0]
+            depth_acc = depth_acc + w * d_k
+            alpha_acc = alpha_acc + w
+            trans = trans * (1.0 - a_k)
+            return trans, feat_acc, depth_acc, alpha_acc
+
+        init = (
+            jnp.ones((p,), jnp.float32),
+            jnp.zeros((p, cdim), jnp.float32),
+            jnp.zeros((p,), jnp.float32),
+            jnp.zeros((p,), jnp.float32),
+        )
+        _, feat_acc, depth_acc, alpha_acc = jax.lax.fori_loop(0, k_total, body, init)
+        feat_out_ref[:] = feat_acc
+        depth_out_ref[:] = depth_acc[:, None]
+        alpha_out_ref[:] = alpha_acc[:, None]
+
+    pl.run_scoped(
+        scoped,
+        alpha_sc=pltpu.VMEM((k_total, p), jnp.float32),
+        depth_sc=pltpu.VMEM((k_total, p), jnp.float32),
     )
-    w = alpha * trans  # [P, K]
-
-    feat_out_ref[:] = jnp.dot(w, feats_ref[:], preferred_element_type=jnp.float32)
-    g_depth = depth_ref[:, 0][None, :] + dvel_ref[:, 0][None, :] * t  # [P, K]
-    depth_out_ref[:] = jnp.sum(w * g_depth, axis=-1, keepdims=True)
-    alpha_out_ref[:] = jnp.sum(w, axis=-1, keepdims=True)
 
 
 def _run_fwd(pix, times, means, vel, conics, opac, feats, depth, dvel, valid):
