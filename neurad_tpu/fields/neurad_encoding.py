@@ -81,6 +81,11 @@ class NeuRADHashEncoding(nn.Module):
     disable_actors: bool = False
     require_actor_grad: bool = True
     max_actors_per_ray: int = 4
+    # actor-grid lookups only run for a fixed-capacity top-K subset of samples
+    # (capacity = num_samples // actor_compaction): actor boxes cover a few % of
+    # samples in AD scenes, and the reference gathers them sparsely too
+    # (`neurad_encoding.py:226-263`). 0 disables compaction (dense lookups).
+    actor_compaction: int = 8
 
     @property
     def out_dim(self) -> int:
@@ -205,10 +210,30 @@ class NeuRADHashEncoding(nn.Module):
             [actor_g.mean, jnp.broadcast_to(id_coord[..., None, None], actor_g.mean.shape[:-1] + (1,))],
             axis=-1,
         )
-        actor_feats = he.hash_encode_gaussians(
-            mean4, actor_g.std, self.actor_table, self.actor_scales, self.actor_table_size,
-            cell_packed=self.actor.cell_packed,
-        )  # [R, S, La*Fa]
+        r, s = hit.shape
+        if self.actor_compaction > 0 and r * s > 256:
+            # compacted lookup: gather the (at most) capacity samples that hit an
+            # actor box, encode only those, scatter features back densely
+            cap = max(128, (r * s) // self.actor_compaction)
+            flat_hit = hit.reshape(-1)
+            flat_mean4 = mean4.reshape(r * s, *mean4.shape[2:])
+            flat_std = actor_g.std.reshape(r * s, *actor_g.std.shape[2:])
+            _, top_idx = jax.lax.top_k(flat_hit.astype(jnp.float32), cap)
+            sel_feats = he.hash_encode_gaussians(
+                flat_mean4[top_idx], flat_std[top_idx], self.actor_table, self.actor_scales,
+                self.actor_table_size, cell_packed=self.actor.cell_packed,
+            )  # [cap, La*Fa]
+            actor_feats = (
+                jnp.zeros((r * s, sel_feats.shape[-1]), sel_feats.dtype)
+                .at[top_idx]
+                .set(sel_feats)
+                .reshape(r, s, -1)
+            )
+        else:
+            actor_feats = he.hash_encode_gaussians(
+                mean4, actor_g.std, self.actor_table, self.actor_scales, self.actor_table_size,
+                cell_packed=self.actor.cell_packed,
+            )  # [R, S, La*Fa]
 
         pad = self.out_dim - actor_feats.shape[-1]
         if pad > 0:

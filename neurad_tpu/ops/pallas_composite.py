@@ -3,14 +3,23 @@
 The XLA path (`ops/gaussian_rasterize._composite`) materializes [tiles, pixels,
 K] alpha/transmittance tensors in HBM — at 1920x1080/K=256 that is GBs of pure
 traffic. This kernel runs one tile per grid step with the whole composite in
-VMEM: gathered per-tile gaussian rows stream in, the [P, K] alpha matrix, the
-exclusive-cumprod transmittance, and the [P, C] accumulators never leave the
-chip. Forward + custom-VJP backward (recompute-based, like the CUDA
-rasterizers') so training uses it too.
+VMEM: the [K, P] alpha matrix, the front-to-back transmittance loop, and the
+[P, C] accumulators never leave the chip.
+
+Mosaic constraints shape the layout (lane dim must be 128-aligned; no
+cumprod/cumsum; no value-level dynamic_slice; ref slicing only on non-lane
+dims), so the wrapper repacks inputs:
+
+  pix      [T, 2, P]    pixel x/y on sublanes, P on lanes
+  times    [T, 1, P]
+  gattr    [T, 11, K]   (mean_x, mean_y, vel_x, vel_y, con_a, con_b, con_c,
+                         opac, depth, depth_vel, valid) per-tile gaussians
+  feats    [T, K, 128]  features padded to a full lane
+and the composite loop slices the [K, P] alpha scratch along sublanes.
 
 Inputs are the PRE-GATHERED per-tile arrays (XLA's gather handles the random
-access; Pallas does the dense math — the right split on TPU, where in-kernel
-random HBM access would serialize into per-row DMAs).
+access; Pallas does the dense math — the right split on TPU). Forward +
+custom-VJP backward (per-tile recompute, like the CUDA rasterizers).
 """
 
 from __future__ import annotations
@@ -23,52 +32,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_C_PAD = 128  # feature lane padding
 
-def _composite_fwd_kernel(
-    pix_ref,  # [P, 2]
-    times_ref,  # [P, 1]
-    means_ref,  # [K, 2]
-    vel_ref,  # [K, 2]
-    conics_ref,  # [K, 3]
-    opac_ref,  # [K, 1]
-    feats_ref,  # [K, C]
-    depth_ref,  # [K, 1]
-    dvel_ref,  # [K, 1]
-    valid_ref,  # [K, 1] (float 0/1)
-    feat_out_ref,  # [P, C]
-    depth_out_ref,  # [P, 1]
-    alpha_out_ref,  # [P, 1]
-):
-    pix = pix_ref[:]  # [P, 2]
-    t = times_ref[:, 0]  # [P]
-    # K-major layout: K on the sublane axis so the composite loop can slice it
-    # (Mosaic supports neither cumprod/cumsum nor value-level dynamic_slice, and
-    # lane-dim ref slicing is restricted — so alpha lives in a [K, P] scratch)
-    means = means_ref[:][:, None, :] + vel_ref[:][:, None, :] * t[None, :, None]  # [K, P, 2]
-    d = pix[None, :, :] - means  # [K, P, 2]
-    a = conics_ref[:, 0][:, None]
-    b = conics_ref[:, 1][:, None]
-    c = conics_ref[:, 2][:, None]
-    sigma = 0.5 * (a * d[..., 0] ** 2 + c * d[..., 1] ** 2) + b * d[..., 0] * d[..., 1]
-    alpha = opac_ref[:, 0][:, None] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0))
-    alpha = jnp.clip(alpha, 0.0, 0.999)
-    alpha = jnp.where((valid_ref[:, 0][:, None] > 0) & (alpha >= 1.0 / 255.0), alpha, 0.0)  # [K, P]
-    g_depth = depth_ref[:, 0][:, None] + dvel_ref[:, 0][:, None] * t[None, :]  # [K, P]
 
-    k_total = alpha.shape[0]
-    p = alpha.shape[1]
-    cdim = feats_ref.shape[-1]
+def _composite_fwd_kernel(pix_ref, times_ref, gattr_ref, feats_ref, feat_out_ref, depth_out_ref, alpha_out_ref):
+    pix_x = pix_ref[0, 0, :]  # [P]
+    pix_y = pix_ref[0, 1, :]
+    t = times_ref[0, 0, :]  # [P]
+    ga = gattr_ref[0]  # [11, K]
+    mean_x = ga[0][:, None]  # [K, 1]
+    mean_y = ga[1][:, None]
+    vel_x = ga[2][:, None]
+    vel_y = ga[3][:, None]
+    con_a = ga[4][:, None]
+    con_b = ga[5][:, None]
+    con_c = ga[6][:, None]
+    opac = ga[7][:, None]
+    depth = ga[8][:, None]
+    dvel = ga[9][:, None]
+    valid = ga[10][:, None]
+
+    # [K, P]: rolling-shutter-warped center offsets
+    dx = pix_x[None, :] - (mean_x + vel_x * t[None, :])
+    dy = pix_y[None, :] - (mean_y + vel_y * t[None, :])
+    sigma = 0.5 * (con_a * dx * dx + con_c * dy * dy) + con_b * dx * dy
+    alpha = jnp.clip(opac * jnp.exp(-jnp.clip(sigma, 0.0, 50.0)), 0.0, 0.999)
+    alpha = jnp.where((valid > 0) & (alpha >= 1.0 / 255.0), alpha, 0.0)  # [K, P]
+    g_depth = depth + dvel * t[None, :]  # [K, P]
+
+    k_total, p = alpha.shape
 
     def scoped(alpha_sc, depth_sc):
         alpha_sc[:] = alpha
         depth_sc[:] = g_depth
-        feats = feats_ref[:]  # [K, C]
 
         def body(k, carry):
             trans, feat_acc, depth_acc, alpha_acc = carry
             a_k = alpha_sc[pl.ds(k, 1), :][0]  # [P]
-            w = a_k * trans
-            f_k = feats_ref[pl.ds(k, 1), :]  # [1, C]
+            w = a_k * trans  # [P]
+            f_k = feats_ref[0, pl.ds(k, 1), :]  # [1, 128]
             feat_acc = feat_acc + w[:, None] * f_k
             d_k = depth_sc[pl.ds(k, 1), :][0]
             depth_acc = depth_acc + w * d_k
@@ -78,14 +80,14 @@ def _composite_fwd_kernel(
 
         init = (
             jnp.ones((p,), jnp.float32),
-            jnp.zeros((p, cdim), jnp.float32),
+            jnp.zeros((p, _C_PAD), jnp.float32),
             jnp.zeros((p,), jnp.float32),
             jnp.zeros((p,), jnp.float32),
         )
         _, feat_acc, depth_acc, alpha_acc = jax.lax.fori_loop(0, k_total, body, init)
-        feat_out_ref[:] = feat_acc
-        depth_out_ref[:] = depth_acc[:, None]
-        alpha_out_ref[:] = alpha_acc[:, None]
+        feat_out_ref[0] = feat_acc
+        depth_out_ref[0, 0, :] = depth_acc
+        alpha_out_ref[0, 0, :] = alpha_acc
 
     pl.run_scoped(
         scoped,
@@ -100,28 +102,32 @@ def _run_fwd(pix, times, means, vel, conics, opac, feats, depth, dvel, valid):
     k = means.shape[1]
     c = feats.shape[-1]
 
-    spec2 = lambda last: pl.BlockSpec((1,) + last, lambda i: (i,) + (0,) * len(last), memory_space=pltpu.VMEM)
-
-    def squeeze_kernel(*refs):
-        # drop the leading length-1 tile axis from every ref view
-        args = [r.at[0] for r in refs]
-        _composite_fwd_kernel(*args)
-
-    return pl.pallas_call(
-        squeeze_kernel,
-        grid=(t_total,),
-        in_specs=[
-            spec2((p, 2)), spec2((p, 1)), spec2((k, 2)), spec2((k, 2)), spec2((k, 3)),
-            spec2((k, 1)), spec2((k, c)), spec2((k, 1)), spec2((k, 1)), spec2((k, 1)),
+    pix_kp = jnp.swapaxes(pix, 1, 2)  # [T, 2, P]
+    times_kp = jnp.swapaxes(times, 1, 2)  # [T, 1, P]
+    gattr = jnp.stack(
+        [
+            means[..., 0], means[..., 1], vel[..., 0], vel[..., 1],
+            conics[..., 0], conics[..., 1], conics[..., 2],
+            opac[..., 0], depth[..., 0], dvel[..., 0], valid[..., 0],
         ],
-        out_specs=[spec2((p, c)), spec2((p, 1)), spec2((p, 1))],
+        axis=1,
+    )  # [T, 11, K]
+    feats_pad = jnp.pad(feats, ((0, 0), (0, 0), (0, _C_PAD - c)))  # [T, K, 128]
+
+    spec = lambda last: pl.BlockSpec((1,) + last, lambda i: (i,) + (0,) * len(last), memory_space=pltpu.VMEM)
+    feat_p, depth_p, alpha_p = pl.pallas_call(
+        _composite_fwd_kernel,
+        grid=(t_total,),
+        in_specs=[spec((2, p)), spec((1, p)), spec((11, k)), spec((k, _C_PAD))],
+        out_specs=[spec((p, _C_PAD)), spec((1, p)), spec((1, p))],
         out_shape=[
-            jax.ShapeDtypeStruct((t_total, p, c), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, p, 1), jnp.float32),
-            jax.ShapeDtypeStruct((t_total, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, p, _C_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, 1, p), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
-    )(pix, times, means, vel, conics, opac, feats, depth, dvel, valid)
+    )(pix_kp, times_kp, gattr, feats_pad)
+    return feat_p[..., :c], jnp.swapaxes(depth_p, 1, 2), jnp.swapaxes(alpha_p, 1, 2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
