@@ -170,6 +170,22 @@ def _nerfacto(lidar: bool = False, name: str = "nerfacto") -> MethodConfig:
     )
 
 
+def _neurad_scaleopt() -> MethodConfig:
+    """neurad-scaleopt: per-axis-weighted SO3xR3 camera optimization, tuned for
+    nuScenes (`method_configs.py:437-449`)."""
+    cfg = _neurad()
+    cfg.method_name = "neurad-scaleopt"
+    cfg.description = "NeuRAD with per-axis-scaled camera pose optimization (nuScenes)"
+    cfg.pipeline.model_overrides = dict(
+        cfg.pipeline.model_overrides,
+        camera_opt_mode="SO3xR3",
+        # xtrans, ytrans, ztrans, xrot, yrot, zrot (`method_configs.py:440-448`)
+        camera_opt_weights=(0.01, 0.01, 0.01, 1.0, 1.0, 1.0),
+        camera_opt_trans_penalty=(1e-2, 1e-2, 1e-3),
+    )
+    return cfg
+
+
 _REGISTRY: Dict[str, Callable[[], MethodConfig]] = {
     "neurad": _neurad,
     "nerfacto": _nerfacto,
@@ -180,6 +196,7 @@ _REGISTRY: Dict[str, Callable[[], MethodConfig]] = {
     "neuradest": lambda: _scaled(_neurad(), 0.25, "neuradest"),
     "splatad": _splatad,
     "splatad-tiny": _splatad_tiny,
+    "neurad-scaleopt": _neurad_scaleopt,
 }
 
 

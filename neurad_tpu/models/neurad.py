@@ -99,6 +99,9 @@ class NeuRADModel(nn.Module):
     nff_out_dim: int = 32
     use_sdf: bool = True
     camera_opt_mode: str = "off"
+    # ScaledCameraOptimizer per-axis tangent weights/penalties (`camera_optimizers.py:338-379`)
+    camera_opt_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    camera_opt_trans_penalty: Tuple[float, ...] = (1e-2, 1e-2, 1e-2)
     optimize_trajectories: bool = True
     max_actors_per_ray: int = 4
 
@@ -132,7 +135,12 @@ class NeuRADModel(nn.Module):
             )
             for i, s in enumerate(self.proposal_static)
         ]
-        self.camera_optimizer = CameraOptimizer(num_cameras=self.num_train_images, mode=self.camera_opt_mode)
+        self.camera_optimizer = CameraOptimizer(
+            num_cameras=self.num_train_images,
+            mode=self.camera_opt_mode,
+            weights=self.camera_opt_weights,
+            trans_l2_penalty=self.camera_opt_trans_penalty,
+        )
         num_embeds = self.num_sensors * (self._num_embeds_per_sensor if self.use_temporal_appearance else 1)
         self.appearance_embedding = nn.Embed(num_embeds, self.appearance_dim)
         self.rgb_decoder = RGBDecoderCNN(hidden_dim=self.rgb_hidden_dim, upsample_factor=self.rgb_upsample_factor)
