@@ -1,0 +1,82 @@
+"""Viewer + closed-loop HTTP server plumbing tests (no model load)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+
+from neurad_tpu.scripts.closed_loop import make_handler
+from neurad_tpu.viewer.server import ViewerServer
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def test_viewer_server_renders():
+    calls = {}
+
+    def render_fn(pose, w, h, t01):
+        calls["pose"] = np.asarray(pose)
+        return np.full((h, w, 3), 0.5, dtype=np.float32)
+
+    server = ViewerServer(render_fn, port=17707)
+    server.start(background=True)
+    try:
+        # page served
+        with urllib.request.urlopen("http://127.0.0.1:17707/", timeout=10) as r:
+            assert b"neurad_tpu viewer" in r.read()
+        # render round trip
+        pose = np.eye(4)[:3].tolist()
+        out = _post("http://127.0.0.1:17707/render", {"pose": pose, "quality": "low", "t01": 0.2})
+        assert "png" in out and len(out["png"]) > 100
+        assert calls["pose"].shape == (3, 4)
+    finally:
+        server.stop()
+
+
+class _FakeState:
+    time_offset = 123.0
+
+    def get_actors(self):
+        return [{"poses": [np.eye(4).tolist()], "timestamps": [0.0], "dims": [1, 2, 3]}]
+
+    def render_image(self, pose, timestamp, camera_name):
+        self.last = (np.asarray(pose), timestamp, camera_name)
+        return np.zeros((4, 6, 3), dtype=np.float32)
+
+    def update_actors(self, actors):
+        self.updated = actors
+
+
+def test_closed_loop_endpoints():
+    from http.server import ThreadingHTTPServer
+
+    state = _FakeState()
+    server = ThreadingHTTPServer(("127.0.0.1", 17808), make_handler(state))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        assert _get("http://127.0.0.1:17808/start_time")["start_time"] == 123.0
+        actors = _get("http://127.0.0.1:17808/get_actors")["actors"]
+        assert len(actors) == 1
+        img = _post(
+            "http://127.0.0.1:17808/render_image",
+            {"pose": np.eye(4).tolist(), "timestamp": 1.5, "camera_name": "front"},
+        )["image"]
+        assert np.asarray(img).shape == (4, 6, 3)
+        assert state.last[1] == 1.5
+        out = _post("http://127.0.0.1:17808/update_actors", {"actors": actors})
+        assert out["status"] == "ok"
+        assert hasattr(state, "updated")
+    finally:
+        server.shutdown()
