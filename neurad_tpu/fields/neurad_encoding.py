@@ -229,6 +229,16 @@ class NeuRADHashEncoding(nn.Module):
                 .set(sel_feats)
                 .reshape(r, s, -1)
             )
+            # On overflow (> cap box hits) the dropped samples must keep their
+            # STATIC features, not all-zero rows: restrict the merge mask to
+            # samples the capacity set actually covered.
+            covered = (
+                jnp.zeros((r * s,), jnp.bool_)
+                .at[top_idx]
+                .set(flat_hit[top_idx])
+                .reshape(r, s)
+            )
+            hit = hit & covered
         else:
             actor_feats = he.hash_encode_gaussians(
                 mean4, actor_g.std, self.actor_table, self.actor_scales, self.actor_table_size,

@@ -279,8 +279,12 @@ class NeuRADModel(nn.Module):
             ranges = ray_bundle.metadata.get("directions_norm")
             did_return = ray_bundle.metadata.get("did_return")
             if ranges is not None:
-                mask = self._carving_mask(ray_samples, is_lidar, ranges, did_return)
-                outputs["carving_per_ray"] = jnp.sum((weights[..., 0] * mask) ** 2, axis=-1)
+                # Carve WITHOUT the sky sample: the reference computes
+                # non_nearby_weights after dropping it (`neurad.py:388-414`);
+                # including it would penalize weight at the sky on
+                # non-returning lidar rays, fighting the non-return depth term.
+                mask = self._carving_mask(ray_samples, is_lidar, ranges, did_return)[..., :-1]
+                outputs["carving_per_ray"] = jnp.sum((w_nosky[..., 0] * mask) ** 2, axis=-1)
                 for i, ps in enumerate(prop_samples):
                     pmask = self._carving_mask(ps, is_lidar, ranges, did_return)
                     outputs[f"prop_carving_per_ray_{i}"] = jnp.sum(

@@ -309,7 +309,7 @@ class SplatADModel(nn.Module):
             radius_clip=cfg.radius_clip_pix,
             antialiased=cfg.antialiased,
         )
-        feat_img, depth_img, alpha_img = GR.rasterize_camera(
+        feat_img, depth_img, alpha_img, binning = GR.rasterize_camera(
             proj,
             self.features,
             jax.nn.sigmoid(self.opacities),
@@ -320,6 +320,7 @@ class SplatADModel(nn.Module):
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             rolling_shutter_time=rolling_shutter_time,
             backend=cfg.rasterize_backend,
+            return_binning=True,
         )
 
         ray_dirs = self._ray_dirs(K, width, height, c2w)
@@ -329,7 +330,15 @@ class SplatADModel(nn.Module):
         background = jnp.array([0.1490, 0.1647, 0.2157])
         rgb = jnp.clip(rgb + (1.0 - alpha_img) * background, 0.0, 1.0)
         depth_img = jnp.where(alpha_img > 0, depth_img, jax.lax.stop_gradient(depth_img).max())
-        return {"rgb": rgb, "depth": depth_img, "accumulation": alpha_img, "background": background}
+        return {
+            "rgb": rgb,
+            "depth": depth_img,
+            "accumulation": alpha_img,
+            "background": background,
+            # truncation telemetry: nonzero = the per-tile caps clipped the scene
+            "binning_dropped_pairs": binning.dropped_pairs,
+            "binning_cropped_gaussians": binning.cropped_gaussians,
+        }
 
     def get_lidar_outputs(
         self,
@@ -405,6 +414,9 @@ class SplatADModel(nn.Module):
         }
         total = main + reg["mcmc_scale_reg"] + reg["mcmc_opacity_reg"] + self.camera_optimizer.regularization_loss()
         total = total + self.camera_velocity_optimizer.regularization_loss()
+        for k in ("binning_dropped_pairs", "binning_cropped_gaussians"):
+            if k in outputs:
+                metrics[k] = outputs[k]
         return total, metrics
 
     def lidar_loss(
@@ -425,10 +437,12 @@ class SplatADModel(nn.Module):
         intensity_loss = cfg.intensity_lambda * L.masked_mean((intensity - gt_int) ** 2, qmask)
 
         logits = outputs["ray_drop_logits"][:, 0]
-        logits = jnp.where(valid, logits, -10_000.0)
         targets = (~did_return).astype(logits.dtype)
         bce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        ray_drop_loss = cfg.ray_drop_lambda * jnp.mean(bce)
+        # Mask out padded points (valid=False) and normalize by the valid count:
+        # padding carries did_return=False, so an unmasked mean both inflates the
+        # loss (BCE of a forced -1e4 logit vs target 1) and dilutes real points.
+        ray_drop_loss = cfg.ray_drop_lambda * L.masked_mean(bce, valid)
 
         los = cfg.line_of_sight_lambda * L.masked_mean(outputs["alpha_sum_until_points"][:, 0], qmask)
 
@@ -447,6 +461,9 @@ class SplatADModel(nn.Module):
             ),
             **reg,
         }
+        for k in ("binning_dropped_pairs", "binning_cropped_gaussians"):
+            if k in outputs:
+                metrics[k] = outputs[k]
         return total, metrics
 
     def _mcmc_regs(self) -> Dict[str, jnp.ndarray]:

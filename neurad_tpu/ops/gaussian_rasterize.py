@@ -36,6 +36,10 @@ class TileBinning(NamedTuple):
     tile_valid: jnp.ndarray  # [T, K] bool
     num_tiles_x: int
     num_tiles_y: int
+    # overflow telemetry (scalars) — silent truncation otherwise degrades dense
+    # scenes invisibly; the reference CUDA rasterizer has no caps at all
+    dropped_pairs: jnp.ndarray = jnp.int32(0)  # (tile,gauss) pairs beyond max_per_tile
+    cropped_gaussians: jnp.ndarray = jnp.int32(0)  # gaussians covering > max_tiles_per_gaussian tiles
 
 
 def bin_gaussians(
@@ -47,11 +51,17 @@ def bin_gaussians(
     num_tiles: Tuple[int, int],
     max_tiles_per_gaussian: int = 16,
     max_per_tile: int = 256,
+    wrap_x: bool = False,
 ) -> TileBinning:
     """Assign gaussians to tiles, depth-ordered per tile.
 
     Works in any 2D coordinate system (pixels or spherical degrees): tile (i, j)
     covers [grid_min + (j, i)*tile_size, +tile_size).
+
+    wrap_x: treat the x axis as circular (360° azimuth for spherical lidar) —
+    a gaussian whose footprint crosses the ±180° seam is binned into tiles on
+    both sides via modulo tile indices (the reference CUDA lidar rasterizer
+    bins circularly too).
     """
     ntx, nty = num_tiles
     t_total = ntx * nty
@@ -69,16 +79,23 @@ def bin_gaussians(
     x1 = jnp.floor((m2[:, 0] + rad - grid_min[0]) / tile_size[0]).astype(jnp.int32)
     y0 = jnp.floor((m2[:, 1] - rad - grid_min[1]) / tile_size[1]).astype(jnp.int32)
     y1 = jnp.floor((m2[:, 1] + rad - grid_min[1]) / tile_size[1]).astype(jnp.int32)
-    x0 = jnp.clip(x0, 0, ntx - 1)
-    x1 = jnp.clip(x1, 0, ntx - 1)
+    if wrap_x:
+        # circular x: keep the raw (possibly negative / >= ntx) tile range and
+        # wrap with a modulo when emitting slots; cap the span at ntx tiles
+        x1 = jnp.minimum(x1, x0 + ntx - 1)
+    else:
+        x0 = jnp.clip(x0, 0, ntx - 1)
+        x1 = jnp.clip(x1, 0, ntx - 1)
     y0 = jnp.clip(y0, 0, nty - 1)
     y1 = jnp.clip(y1, 0, nty - 1)
     wx = x1 - x0 + 1
     wy = y1 - y0 + 1
+    cropped = jnp.sum(((wx * wy > c) & valid_g).astype(jnp.int32))
 
     # Cap the covered rect at C tiles, recentered on the gaussian: oversized
     # gaussians keep their central tiles instead of a row-major corner slice.
-    cx = jnp.clip(jnp.floor((m2[:, 0] - grid_min[0]) / tile_size[0]).astype(jnp.int32), 0, ntx - 1)
+    cx = jnp.floor((m2[:, 0] - grid_min[0]) / tile_size[0]).astype(jnp.int32)
+    cx = cx if wrap_x else jnp.clip(cx, 0, ntx - 1)
     cy = jnp.clip(jnp.floor((m2[:, 1] - grid_min[1]) / tile_size[1]).astype(jnp.int32), 0, nty - 1)
     wx_c = jnp.minimum(wx, c)
     wy_c = jnp.minimum(wy, jnp.maximum(c // jnp.clip(wx_c, 1, None), 1))
@@ -91,6 +108,8 @@ def bin_gaussians(
     sx = slot[None, :] % jnp.clip(wx, 1, None)[:, None]
     sy = slot[None, :] // jnp.clip(wx, 1, None)[:, None]
     tile_x = x0[:, None] + sx
+    if wrap_x:
+        tile_x = jnp.mod(tile_x, ntx)
     tile_y = y0[:, None] + sy
     in_rect = (slot[None, :] < (wx * wy)[:, None]) & valid_g[:, None]
     tile_id = jnp.where(in_rect, tile_y * ntx + tile_x, t_total)  # sentinel = t_total
@@ -112,7 +131,15 @@ def bin_gaussians(
     tile_valid = gather_idx < ends[:, None]
     gather_idx = jnp.clip(gather_idx, 0, sorted_gauss.shape[0] - 1)
     tile_gauss = sorted_gauss[gather_idx]
-    return TileBinning(tile_gauss=tile_gauss, tile_valid=tile_valid, num_tiles_x=ntx, num_tiles_y=nty)
+    dropped = jnp.sum(jnp.maximum(ends - starts - k, 0))
+    return TileBinning(
+        tile_gauss=tile_gauss,
+        tile_valid=tile_valid,
+        num_tiles_x=ntx,
+        num_tiles_y=nty,
+        dropped_pairs=dropped.astype(jnp.int32),
+        cropped_gaussians=cropped,
+    )
 
 
 def _composite(
@@ -170,7 +197,8 @@ def rasterize_camera(
     rs_direction: str = "vertical",
     tile_chunk: int = 64,
     backend: str = "xla",  # 'xla' | 'pallas' (VMEM-resident per-tile composite)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_binning: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Rasterize projected gaussians to (features [H,W,C], depth [H,W,1],
     alpha [H,W,1]). gsplat-`rasterization` equivalent (render_mode RGB+ED)."""
     ntx = -(-width // tile_size)
@@ -257,7 +285,8 @@ def rasterize_camera(
         x = x.transpose(0, 2, 1, 3, 4).reshape(nty * tile_size, ntx * tile_size, c)
         return x[:height, :width]
 
-    return to_image(feat, cdim), to_image(depth, 1), to_image(alpha, 1)
+    imgs = (to_image(feat, cdim), to_image(depth, 1), to_image(alpha, 1))
+    return imgs + (binning,) if return_binning else imgs
 
 
 def rasterize_lidar_points(
@@ -284,6 +313,7 @@ def rasterize_lidar_points(
     """
     ntx = max(1, int(-(-(azim_range[1] - azim_range[0]) // tile_size_azim)))
     nty = max(1, int(-(-(elev_range[1] - elev_range[0]) // tile_size_elev)))
+    wrap = (azim_range[1] - azim_range[0]) >= 360.0 - 1e-6
     binning = bin_gaussians(
         projected.means2d,
         projected.radii,
@@ -293,6 +323,9 @@ def rasterize_lidar_points(
         num_tiles=(ntx, nty),
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         max_per_tile=max_per_tile,
+        # full-turn azimuth grids are circular: bin seam-crossing gaussians on
+        # both sides of ±180°
+        wrap_x=wrap,
     )
 
     m = raster_pts.shape[0]
@@ -310,6 +343,11 @@ def rasterize_lidar_points(
         tv = binning.tile_valid[tile_idx]
         means = projected.means2d[tg] + projected.vel2d[tg] * pts[:, None, 3:4]  # RS warp
         d = pts[:, None, :2] - means
+        if wrap:
+            # circular azimuth: a query at -179.5° is 1.1° from a gaussian at
+            # +179.4°, not 358.9°
+            d_az = jnp.mod(d[..., 0] + 180.0, 360.0) - 180.0
+            d = jnp.stack([d_az, d[..., 1]], axis=-1)
         con = projected.conics[tg]
         sigma = 0.5 * (con[..., 0] * d[..., 0] ** 2 + con[..., 2] * d[..., 1] ** 2) + con[..., 1] * d[..., 0] * d[..., 1]
         alpha = jnp.clip(opac[tg] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0)), 0.0, 0.999)
@@ -350,4 +388,7 @@ def rasterize_lidar_points(
         "alpha": acc.reshape(-1, 1)[:m],
         "alpha_sum_until_points": alpha_until.reshape(-1, 1)[:m],
         "median_depth": med.reshape(-1, 1)[:m],
+        # truncation telemetry — nonzero means the caps are clipping the scene
+        "binning_dropped_pairs": binning.dropped_pairs,
+        "binning_cropped_gaussians": binning.cropped_gaussians,
     }

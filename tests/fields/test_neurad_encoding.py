@@ -141,3 +141,31 @@ def test_encoding_jits_and_grads():
     grads = jax.grad(loss)(params)
     total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(grads))
     assert np.isfinite(total) and total > 0
+
+
+def test_compaction_overflow_falls_back_to_static():
+    """When more samples hit actor boxes than the compaction capacity, the
+    overflowed samples must keep their STATIC features (not all-zero rows)."""
+    # huge actor so every sample of every ray is inside its box
+    data = actor_data_from_trajectories([_actor_at(0.0, 0.0, 0.0, dims=(500.0, 500.0, 500.0))])
+    enc = _encoding(data, actor_compaction=8)
+    r, s = 16, 128  # r*s = 2048 hits, cap = max(128, 2048//8) = 256
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-50, 50, size=(r, s, 3)).astype(np.float32)
+    g = _gaussians(pts)
+    times = jnp.zeros((r, 1))
+    params = enc.init(jax.random.PRNGKey(0), g, times, None)
+    feats, _ = enc.apply(params, g, times, None)
+
+    enc_off = _encoding(data, disable_actors=True)
+    feats_off, _ = enc_off.apply(params, g, times, None)
+
+    f = np.asarray(feats).reshape(r * s, -1)
+    f_off = np.asarray(feats_off).reshape(r * s, -1)
+    is_actor = np.abs(f - f_off).sum(-1) > 1e-9
+    n_actor = int(is_actor.sum())
+    assert 0 < n_actor <= 256, f"expected <=cap actor-encoded samples, got {n_actor}"
+    # every other sample must EQUAL the static encoding — never a zero row
+    others = f[~is_actor]
+    np.testing.assert_allclose(others, f_off[~is_actor], atol=0)
+    assert (np.abs(others).sum(-1) > 0).all(), "overflowed samples were zeroed"

@@ -145,6 +145,49 @@ def test_lidar_forward_and_loss(model_and_params):
         assert k in metrics
 
 
+def test_lidar_loss_ignores_padding(model_and_params):
+    """Padded points (valid=False) must not inflate or dilute the ray-drop BCE."""
+    model, params, _, _ = model_and_params
+    l2w = jnp.eye(4)[:3]
+    m = 64
+    rng = np.random.default_rng(2)
+    pts = np.stack(
+        [
+            rng.uniform(-180, 180, m),
+            rng.uniform(-20, 10, m),
+            rng.uniform(3, 40, m),
+            np.zeros(m),
+            rng.uniform(0, 1, m),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    did_return = rng.uniform(size=m) > 0.2
+
+    def run(raster_pts, ret, valid):
+        out = model.apply(
+            params, l2w, jnp.asarray(raster_pts), jnp.array(1.0), jnp.array(1), train=True,
+            method=SplatADModel.get_lidar_outputs,
+        )
+        return model.apply(
+            params, out, jnp.asarray(raster_pts), jnp.asarray(ret), jnp.asarray(valid),
+            method=SplatADModel.lidar_loss,
+        )
+
+    _, metrics_ref = run(pts, did_return, np.ones(m, bool))
+    # append 64 padded points: valid=False, did_return=False (the padding layout)
+    pad_pts = np.concatenate([pts, np.zeros((64, 5), np.float32)])
+    pad_ret = np.concatenate([did_return, np.zeros(64, bool)])
+    pad_valid = np.concatenate([np.ones(m, bool), np.zeros(64, bool)])
+    _, metrics_pad = run(pad_pts, pad_ret, pad_valid)
+
+    np.testing.assert_allclose(
+        float(metrics_pad["ray_drop_loss"]), float(metrics_ref["ray_drop_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics_pad["depth_loss"]), float(metrics_ref["depth_loss"]), rtol=1e-5
+    )
+
+
 def test_compute_relocation():
     op = jnp.array([0.9, 0.5])
     scales = jnp.ones((2, 3))

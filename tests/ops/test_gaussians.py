@@ -149,3 +149,19 @@ def test_lidar_median_depth_and_los():
     # the 5m gaussian accumulates before the 10m return -> alpha_sum_until > 0.5
     assert float(out["alpha_sum_until_points"][0, 0]) > 0.5
     np.testing.assert_allclose(float(out["median_depth"][0, 0]), 5.0, atol=0.2)
+
+
+def test_lidar_azimuth_wraparound():
+    """A gaussian near +180deg azimuth must be visible to query points just
+    across the seam at -180deg (circular tile binning)."""
+    viewmat = jnp.eye(4)
+    # behind the sensor, slightly +y: azimuth ~ +179.4 deg
+    means = jnp.array([[-10.0, 0.1, 0.0]])
+    covs = quat_scale_to_covariance(jnp.broadcast_to(ID_QUAT, (1, 4)), jnp.full((1, 3), 0.5))
+    proj = project_gaussians_lidar(means, covs, viewmat)
+    assert float(proj.means2d[0, 0]) > 175.0
+    feats = jnp.ones((1, 1))
+    opac = jnp.array([0.95])
+    pts = jnp.array([[-179.5, 0.0, 10.0, 0.0]])  # just across the seam
+    out = rasterize_lidar_points(proj, feats, opac, pts, max_per_tile=8)
+    assert float(out["alpha"][0, 0]) > 0.05, "seam-crossing gaussian missed"
