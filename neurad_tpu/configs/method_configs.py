@@ -14,7 +14,7 @@ from typing import Callable, Dict, Optional
 from neurad_tpu.data.datamanager import ADDataManagerConfig
 from neurad_tpu.engine.optimizers import NEURAD_OPTIMIZER_GROUPS, OptimizerGroupConfig
 from neurad_tpu.engine.trainer import TrainerConfig
-from neurad_tpu.models.neurad import SamplingSettings
+from neurad_tpu.models.neurad import LossSettings, SamplingSettings
 from neurad_tpu.pipelines.ad_pipeline import ADPipelineConfig
 
 
@@ -85,6 +85,9 @@ def _neurad_tiny() -> MethodConfig:
         pipeline=ADPipelineConfig(
             datamanager=ADDataManagerConfig(num_cam_patches=4, patch_size=6, num_lidar_rays=256),
             model_overrides=dict(
+                # VGG perceptual off in the tiny preset only: its conv stack is
+                # ~13x the tiny model's CPU step cost (full presets keep 0.05)
+                loss=LossSettings(vgg_mult=0.0),
                 sampling=SamplingSettings(num_proposal_samples=(12, 8), num_nerf_samples=6, sky_distance=1000.0),
                 field_static=StaticSettings(num_levels=4, base_res=16, max_res=256, log2_hashmap_size=13, hashgrid_dim=4),
                 field_actor=ActorSettings(num_levels=2, base_res=16, max_res=64, log2_hashmap_size=11, hashgrid_dim=4),

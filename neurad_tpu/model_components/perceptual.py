@@ -81,6 +81,32 @@ def load_vgg19_params(rng: jax.Array, sample_hw: int = 32) -> dict:
     return {"params": new}
 
 
+def vgg19_slices_apply(vgg_params: dict, x: jnp.ndarray) -> List[jnp.ndarray]:
+    """Pure-function VGG19 slice forward (same math as `Vgg19Slices`, no flax
+    module context — callable from inside other modules' methods)."""
+    p = vgg_params["params"]
+    outs = []
+    i_conv = 0
+    for chans, pools in zip(_SLICES, _POOL_BEFORE):
+        for _c, pool in zip(chans, pools):
+            if pool:
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+                )
+            w = p[f"conv_{i_conv}"]["kernel"]  # [kh, kw, in, out]
+            b = p[f"conv_{i_conv}"]["bias"]
+            x = (
+                jax.lax.conv_general_dilated(
+                    x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+                )
+                + b
+            )
+            x = jax.nn.relu(x)
+            i_conv += 1
+        outs.append(x)
+    return outs
+
+
 def vgg_perceptual_loss(
     vgg_params: dict,
     pred: jnp.ndarray,
@@ -90,14 +116,13 @@ def vgg_perceptual_loss(
 ) -> jnp.ndarray:
     """Weighted L1 over the 5 VGG slices (`losses.py:596-605`). Inputs NHWC in [0,1];
     target features are stop-gradiented like the reference's `.detach()`."""
-    module = Vgg19Slices()
     if normalize_inputs:
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
         pred = (pred - mean) / std
         target = (target - mean) / std
     both = jnp.concatenate([pred, target], axis=0)
-    feats = module.apply(vgg_params, both)
+    feats = vgg19_slices_apply(vgg_params, both)
     n = pred.shape[0]
     loss = 0.0
     for w, f in zip(weights, feats):

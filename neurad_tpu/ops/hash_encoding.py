@@ -76,26 +76,62 @@ def _corner_offsets(d: int) -> np.ndarray:
     return np.stack([(corners >> i) & 1 for i in range(d)], axis=-1).astype(np.int32)
 
 
-@jax.custom_vjp
-def _gather_bf16_fwd_fp32_bwd(table: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
-    """Table gather reading bf16 (half the HBM traffic — the op's bottleneck,
-    matching tcnn's fp16 feature storage) while the backward scatter-add
-    accumulates in full fp32 (bf16 accumulation would corrupt hash-table grads)."""
-    return jnp.take(table.astype(jnp.bfloat16), flat_idx, axis=0).astype(table.dtype)
+# Gradient accumulators larger than this run in bf16 (tcnn accumulates its
+# hash-table grads in fp16 the same way): measured on v5e, XLA's scatter-add
+# into a 67 MB fp32 buffer runs at 11 M rows/s vs 66 M rows/s into the 33 MB
+# bf16 buffer — operand size, not element count, is what falls off the cliff.
+_FP32_ACCUM_MAX_BYTES = 32 * 1024 * 1024
 
 
-def _gather_fwd(table, flat_idx):
-    # residuals must be arrays/ints; shape as a tuple of python ints is static
-    return _gather_bf16_fwd_fp32_bwd(table, flat_idx), (flat_idx, tuple(table.shape))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_levels(table_size: int, read_bf16: bool, table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-level table gather: [num_levels * table_size, F] x [L, n] -> [L, n, F].
+
+    CRITICAL TPU layout decision (v5e, measured): XLA's gather throughput is a
+    function of OPERAND SIZE — ~430 M rows/s against an 0.25 MB table, ~300 M
+    at 8 MB, ~84 M at 33 MB, and ~40 M against the 537 MB all-levels table the
+    naive layout produces. Gathering each level against its own <=33 MB slice
+    (bf16 read, matching tcnn's fp16 feature storage) keeps every operand in
+    the fast domain. Same trick in the backward: per-level scatter-add with a
+    per-level accumulator, bf16 when the fp32 buffer would exceed 32 MB.
+    """
+    return _gather_levels_impl(table_size, read_bf16, table, idx)
 
 
-def _gather_bwd(res, g):
-    flat_idx, shape = res
-    dtable = jnp.zeros(shape, g.dtype).at[flat_idx].add(g)
-    return dtable, None
+def _gather_levels_impl(table_size, read_bf16, table, idx):
+    num_levels = idx.shape[0]
+    f = table.shape[-1]
+    outs = []
+    for l in range(num_levels):
+        tbl = jax.lax.slice_in_dim(table, l * table_size, (l + 1) * table_size, axis=0)
+        if read_bf16:
+            tbl = tbl.astype(jnp.bfloat16)
+        outs.append(jnp.take(tbl, idx[l], axis=0).astype(table.dtype))
+    return jnp.stack(outs)  # [L, n, F]
 
 
-_gather_bf16_fwd_fp32_bwd.defvjp(_gather_fwd, _gather_bwd)
+def _gather_levels_fwd(table_size, read_bf16, table, idx):
+    out = _gather_levels_impl(table_size, read_bf16, table, idx)
+    # zero-size probe carries the table's width/dtype through the residuals
+    # (residual leaves must be JAX types)
+    return out, (idx, jnp.zeros((0, table.shape[-1]), table.dtype))
+
+
+def _gather_levels_bwd(table_size, read_bf16, res, g):
+    idx, probe = res
+    f, dtype = probe.shape[-1], probe.dtype
+    num_levels = idx.shape[0]
+    accum_dtype = jnp.float32
+    if table_size * f * 4 > _FP32_ACCUM_MAX_BYTES:
+        accum_dtype = jnp.bfloat16
+    parts = []
+    for l in range(num_levels):
+        dt = jnp.zeros((table_size, f), accum_dtype).at[idx[l]].add(g[l].astype(accum_dtype))
+        parts.append(dt.astype(dtype))
+    return jnp.concatenate(parts, axis=0), None
+
+
+_gather_levels.defvjp(_gather_levels_fwd, _gather_levels_bwd)
 
 
 def hash_encode(
@@ -138,26 +174,25 @@ def hash_encode(
     offset = scaled - floor  # [..., L, D] in [0,1)
     floor_i = floor.astype(jnp.int32)
 
-    level_offset = jnp.arange(num_levels, dtype=jnp.int32) * table_size
+    read_bf16 = gather_dtype is not None
     if cell_packed:
         # one row per CELL: [..., L] gathers of 2^D * F features
         hashed = _hash(floor_i, table_size)  # [..., L]
-        idx = hashed + level_offset
-        if gather_dtype is not None:
-            flat_feats = _gather_bf16_fwd_fp32_bwd(table, idx.reshape(-1))
-        else:
-            flat_feats = jnp.take(table, idx.reshape(-1), axis=0)
-        feats = flat_feats.reshape(idx.shape + (n_corners, f))  # [..., L, C, F]
+        # per-level layout: [L, n] within-level row ids (see _gather_levels)
+        idx_ln = jnp.moveaxis(hashed, -1, 0).reshape(num_levels, -1)
+        flat_feats = _gather_levels(table_size, read_bf16, table, idx_ln)  # [L, n, Fw]
+        feats = jnp.moveaxis(
+            flat_feats.reshape((num_levels,) + hashed.shape[:-1] + (n_corners, f)), 0, -3
+        )  # [..., L, C, F]
     else:
         # corner coords: floor + {0,1}^D  -> [..., L, C, D]
         corner_coords = floor_i[..., None, :] + corners
         hashed = _hash(corner_coords, table_size)  # [..., L, C]
-        idx = hashed + level_offset[:, None]  # [..., L, C]
-        if gather_dtype is not None:
-            flat_feats = _gather_bf16_fwd_fp32_bwd(table, idx.reshape(-1))
-        else:
-            flat_feats = jnp.take(table, idx.reshape(-1), axis=0)
-        feats = flat_feats.reshape(idx.shape + (f,))  # [..., L, C, F]
+        idx_ln = jnp.moveaxis(hashed, -2, 0).reshape(num_levels, -1)
+        flat_feats = _gather_levels(table_size, read_bf16, table, idx_ln)  # [L, n*C, F]
+        feats = jnp.moveaxis(
+            flat_feats.reshape((num_levels,) + hashed.shape[:-2] + (n_corners, f)), 0, -3
+        )  # [..., L, C, F]
 
     # D-linear interpolation weights: prod over dims of (offset if corner bit else 1-offset)
     w = jnp.where(corners.astype(bool), offset[..., None, :], 1.0 - offset[..., None, :])  # [..., L, C, D]

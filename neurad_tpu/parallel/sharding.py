@@ -34,9 +34,46 @@ def _batch_spec(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "data") -> Any:
-    """Shard every array leaf along its leading (ray/patch) axis."""
+    """Shard every array leaf along its leading (ray/patch) axis.
+
+    Single-host: a plain `device_put` splits the host array across devices.
+    Multi-host (jax.process_count() > 1): each host holds only its LOCAL shard
+    of the global batch, so the global array must be assembled with
+    `jax.make_array_from_process_local_data` — a global `device_put` of
+    per-host data would be wrong (every host would place its own copy as if it
+    were the whole batch). Matches DDP's per-rank batches + all-reduce
+    (`pipelines/base_pipeline.py:306`).
+    """
     sharding = _batch_spec(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    n_dev = mesh.devices.size
+    repl = NamedSharding(mesh, P())
+
+    if jax.process_count() > 1:
+
+        def put(x):
+            local = np.asarray(x)
+            if local.ndim == 0 or local.shape[0] % (n_dev // jax.process_count() or 1):
+                return jax.device_put(x, repl)
+            global_shape = (local.shape[0] * jax.process_count(),) + local.shape[1:]
+            return jax.make_array_from_process_local_data(sharding, local, global_shape)
+
+        return jax.tree.map(put, tree)
+
+    def put(x):
+        # leaves whose leading dim doesn't divide the mesh (e.g. a handful of
+        # GT patches) are replicated — XLA reshards intermediates as needed
+        if getattr(x, "ndim", 0) == 0 or x.shape[0] % n_dev:
+            return jax.device_put(x, repl)
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, tree)
+
+
+def host_local_seed(seed: int) -> int:
+    """Per-host datamanager seed: each host must sample DIFFERENT rays (its
+    share of the global batch) while model-init seeds stay identical across
+    hosts. Mirrors the reference's `seed + global_rank` (`scripts/train.py:96`)."""
+    return seed + 7919 * jax.process_index()
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -46,7 +46,10 @@ class ADPipeline:
     def __init__(self, outputs: ADDataparserOutputs, config: Optional[ADPipelineConfig] = None):
         self.config = config or ADPipelineConfig()
         self.outputs = outputs
-        self.datamanager = ADDataManager(outputs, self.config.datamanager, seed=self.config.seed)
+        # per-host ray sampling; model-init seeds stay identical across hosts
+        from neurad_tpu.parallel.sharding import host_local_seed
+
+        self.datamanager = ADDataManager(outputs, self.config.datamanager, seed=host_local_seed(self.config.seed))
 
         actor_data = (
             actor_data_from_trajectories(outputs.trajectories) if outputs.trajectories else empty_actor_data()
@@ -77,6 +80,17 @@ class ADPipeline:
 
         self.num_cam_rays = self.datamanager.num_cam_rays
         self.patch_size = self.datamanager.patch_shape
+
+        # VGG19 perceptual stack (`losses.py:582-625`): loaded ONCE and closed
+        # over by the jitted loss so `vgg_loss` actually fires in training.
+        # Pretrained weights load from NEURAD_TPU_VGG19_WEIGHTS (.npz of
+        # torchvision vgg19.features); otherwise a fixed He-init network.
+        self.vgg_params = None
+        if not self._is_nerfacto and getattr(self.model, "loss", None) is not None:
+            if self.model.loss.vgg_mult > 0.0:
+                from neurad_tpu.model_components.perceptual import load_vgg19_params
+
+                self.vgg_params = load_vgg19_params(jax.random.PRNGKey(1234))
 
     # ------------------------------------------------------------------
 
@@ -116,6 +130,8 @@ class ADPipeline:
                 nb["image"] = nb["image"].reshape(-1, 3)[: self.num_cam_rays]
                 out = {**out, "rgb": out["rgb"][: self.num_cam_rays]}
             return self.model.apply(params, out, nb, method=NerfactoModel.compute_losses)
+        if self.vgg_params is not None and "image" in batch:
+            batch = {**batch, "vgg_params": self.vgg_params}
         chunk = self.config.train_ray_chunk
         if chunk and bundle.origins.shape[0] > chunk:
             from neurad_tpu.ops.chunking import chunked_map
@@ -200,6 +216,8 @@ class ADPipeline:
             "gt_distance": np.asarray(bundle.metadata["directions_norm"]),
             "gt_intensity": pts[:, 3:4],
             "did_return": np.asarray(bundle.metadata["did_return"]),
+            "origins": np.asarray(bundle.origins),
+            "directions": np.asarray(bundle.directions),
         }
 
     def eval_fid_suite(self, state: TrainState, max_images: int = 8) -> Dict[str, float]:
@@ -242,16 +260,27 @@ class ADPipeline:
         metrics: Dict[str, float] = {}
         cams = self.outputs.eval_camera_indices
         if cams:
-            psnrs, ssims = [], []
+            from neurad_tpu.utils.eval_metrics import lpips
+
+            vgg = self.vgg_params
+            if vgg is None:
+                from neurad_tpu.model_components.perceptual import load_vgg19_params
+
+                vgg = self.vgg_params = load_vgg19_params(jax.random.PRNGKey(1234))
+            psnrs, ssims, lpipss = [], [], []
             for ci in cams:
                 pred, gt = self.render_eval_camera(state, ci)
                 psnrs.append(float(L.psnr(jnp.asarray(pred), jnp.asarray(gt))))
                 ssims.append(float(L.ssim(jnp.asarray(pred), jnp.asarray(gt))))
+                lpipss.append(float(lpips(vgg, jnp.asarray(pred), jnp.asarray(gt))))
             metrics["psnr"] = float(np.mean(psnrs))
             metrics["ssim"] = float(np.mean(ssims))
+            metrics["lpips"] = float(np.mean(lpipss))
         scans = self.outputs.eval_lidar_indices
         if scans:
-            med_l2, rel_l2, int_rmse, drop_acc = [], [], [], []
+            from neurad_tpu.core.math_utils import chamfer_distance
+
+            med_l2, rel_l2, int_rmse, drop_acc, chamfers = [], [], [], [], []
             for si in scans:
                 out = self.render_eval_lidar(state, si)
                 ret = out["did_return"][:, 0]
@@ -261,8 +290,26 @@ class ADPipeline:
                 int_rmse.append(float(np.sqrt(np.mean((out["intensity"][ret] - out["gt_intensity"][ret]) ** 2))))
                 pred_drop = 1.0 / (1.0 + np.exp(-out["ray_drop_logits"][:, 0])) > 0.5
                 drop_acc.append(float(np.mean(pred_drop == ~ret)))
+                # chamfer between predicted and GT point clouds (`neurad.py:610-620`):
+                # pred points where the model predicts a return, GT where it returned
+                pred_pts = out["origins"] + out["directions"] * out["depth"]
+                gt_pts = out["origins"] + out["directions"] * out["gt_distance"]
+                if (~pred_drop).any() and ret.any():
+                    chamfers.append(
+                        float(
+                            chamfer_distance(
+                                jnp.asarray(pred_pts),
+                                jnp.asarray(gt_pts),
+                                pred_mask=jnp.asarray(~pred_drop),
+                                gt_mask=jnp.asarray(ret),
+                            )
+                        )
+                    )
+                else:  # degenerate: all rays predicted dropped (`neurad.py:620`)
+                    chamfers.append(float(np.linalg.norm(gt_pts[ret], axis=-1).mean()))
             metrics["depth_median_l2"] = float(np.mean(med_l2))
             metrics["depth_mean_rel_l2"] = float(np.mean(rel_l2))
             metrics["intensity_rmse"] = float(np.mean(int_rmse))
             metrics["ray_drop_accuracy"] = float(np.mean(drop_acc))
+            metrics["chamfer_distance"] = float(np.mean(chamfers))
         return metrics

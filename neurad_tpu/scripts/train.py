@@ -47,7 +47,7 @@ def entrypoint(argv=None):
     parser.add_argument("--experiment-name", default=None)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--multihost", action="store_true", help="jax.distributed.initialize() for pods")
-    parser.add_argument("--mesh", action="store_true", help="shard ray batches over all local devices")
+    parser.add_argument("--no-mesh", action="store_true", help="disable ray-batch sharding over devices (sharded by default when >1 device)")
     parser.add_argument("--viewer", action="store_true", help="serve the live browser viewer during training")
     parser.add_argument("--viewer-port", type=int, default=7007)
     parser.add_argument("--set", action="append", default=[], metavar="PATH=VALUE", help="config override")
@@ -111,7 +111,9 @@ def entrypoint(argv=None):
 
     state, tx = pipeline.init_state(jax.random.PRNGKey(args.seed))
     step_fn = pipeline.make_train_step(tx)
-    if args.mesh and len(jax.devices()) > 1:
+    if not args.no_mesh and len(jax.devices()) > 1:
+        # data-parallel by DEFAULT on any multi-device topology (the reference
+        # wraps in DDP whenever world_size > 1, base_pipeline.py:306)
         from neurad_tpu.parallel.sharding import make_mesh, make_sharded_train_step
 
         step_fn = make_sharded_train_step(step_fn, make_mesh())

@@ -13,10 +13,11 @@ from neurad_tpu.data.datamanager import ADDataManagerConfig
 from neurad_tpu.data.dataparsers.synthetic import SyntheticDataParserConfig
 from neurad_tpu.engine.optimizers import OptimizerGroupConfig
 from neurad_tpu.fields.neurad_encoding import ActorSettings, StaticSettings
-from neurad_tpu.models.neurad import SamplingSettings
+from neurad_tpu.models.neurad import LossSettings, SamplingSettings
 from neurad_tpu.pipelines.ad_pipeline import ADPipeline, ADPipelineConfig
 
 TINY_MODEL = dict(
+    loss=LossSettings(vgg_mult=0.0),  # VGG exercised by test_vgg_loss_fires; off here for CPU speed
     sampling=SamplingSettings(num_proposal_samples=(12, 8), num_nerf_samples=6, sky_distance=1000.0),
     field_static=StaticSettings(num_levels=4, base_res=16, max_res=256, log2_hashmap_size=13, hashgrid_dim=4),
     field_actor=ActorSettings(num_levels=2, base_res=16, max_res=64, log2_hashmap_size=11, hashgrid_dim=4),
