@@ -34,6 +34,10 @@ class MethodConfig:
             from neurad_tpu.pipelines.splatad_pipeline import SplatADPipeline
 
             return SplatADPipeline(outputs, self.pipeline)
+        if self.pipeline_type == "splatfacto":
+            from neurad_tpu.pipelines.splatfacto_pipeline import SplatfactoPipeline
+
+            return SplatfactoPipeline(outputs, self.pipeline)
         from neurad_tpu.pipelines.ad_pipeline import ADPipeline
 
         return ADPipeline(outputs, self.pipeline)
@@ -149,6 +153,44 @@ def _splatad_tiny() -> MethodConfig:
     )
 
 
+def _splatad_default() -> MethodConfig:
+    """splatad with the reference ADDefaultStrategy (absgrad grow/split/prune,
+    actor-aware culling) instead of MCMC (`strategy.py:18-126`)."""
+    from neurad_tpu.pipelines.splatad_pipeline import SplatADPipelineConfig
+
+    return MethodConfig(
+        method_name="splatad-default",
+        description="SplatAD with Default (absgrad) densification strategy",
+        pipeline_type="splatad",
+        trainer=TrainerConfig(
+            max_num_iterations=30001,
+            steps_per_eval_batch=500,
+            steps_per_save=2000,
+            steps_per_log=100,
+        ),
+        pipeline=SplatADPipelineConfig(strategy="default"),
+    )
+
+
+def _splatfacto() -> MethodConfig:
+    """Upstream-style static 3DGS with Default-strategy densification
+    (`nerfstudio/models/splatfacto.py:150-760`)."""
+    from neurad_tpu.pipelines.splatfacto_pipeline import SplatfactoPipelineConfig
+
+    return MethodConfig(
+        method_name="splatfacto",
+        description="Static 3D gaussian splatting (SH colors, camera only)",
+        pipeline_type="splatfacto",
+        trainer=TrainerConfig(
+            max_num_iterations=30001,
+            steps_per_eval_batch=500,
+            steps_per_save=2000,
+            steps_per_log=100,
+        ),
+        pipeline=SplatfactoPipelineConfig(),
+    )
+
+
 def _nerfacto(lidar: bool = False, name: str = "nerfacto") -> MethodConfig:
     """The nerfacto / lidar-nerfacto presets (`method_configs.py:60-200`)."""
     return MethodConfig(
@@ -198,7 +240,9 @@ _REGISTRY: Dict[str, Callable[[], MethodConfig]] = {
     "neurader": lambda: _scaled(_neurad(), 2.0, "neurader"),
     "neuradest": lambda: _scaled(_neurad(), 0.25, "neuradest"),
     "splatad": _splatad,
+    "splatad-default": _splatad_default,
     "splatad-tiny": _splatad_tiny,
+    "splatfacto": _splatfacto,
     "neurad-scaleopt": _neurad_scaleopt,
 }
 

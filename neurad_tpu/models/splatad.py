@@ -264,8 +264,12 @@ class SplatADModel(nn.Module):
         rolling_shutter_time: float = 0.0,
         time_to_center_pixel: float = 0.0,
         train: bool = False,
+        means2d_offset: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
-        """Camera render (`splatad.py:871-1035`)."""
+        """Camera render (`splatad.py:871-1035`).
+
+        means2d_offset: zeros [N,2] whose gradient equals d(loss)/d(means2d) —
+        the absgrad signal the Default densification strategy consumes."""
         cfg = self.config
         c2w = self.camera_optimizer.apply_to_camera_pose(c2w_opengl[None], cam_idx)[0]
 
@@ -309,6 +313,8 @@ class SplatADModel(nn.Module):
             radius_clip=cfg.radius_clip_pix,
             antialiased=cfg.antialiased,
         )
+        if means2d_offset is not None:
+            proj = proj._replace(means2d=proj.means2d + means2d_offset)
         feat_img, depth_img, alpha_img, binning = GR.rasterize_camera(
             proj,
             self.features,
@@ -335,6 +341,7 @@ class SplatADModel(nn.Module):
             "depth": depth_img,
             "accumulation": alpha_img,
             "background": background,
+            "radii": jax.lax.stop_gradient(proj.radii),
             # truncation telemetry: nonzero = the per-tile caps clipped the scene
             "binning_dropped_pairs": binning.dropped_pairs,
             "binning_cropped_gaussians": binning.cropped_gaussians,

@@ -72,8 +72,16 @@ class SplatfactoModel(nn.Module):
         return jnp.clip(rgb + 0.5, 0.0, 1.0)
 
     def render(
-        self, c2w_opengl: jnp.ndarray, K: jnp.ndarray, width: int, height: int
+        self,
+        c2w_opengl: jnp.ndarray,
+        K: jnp.ndarray,
+        width: int,
+        height: int,
+        means2d_offset: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
+        """means2d_offset: zeros [N,2] whose gradient is d(loss)/d(means2d) —
+        the absgrad signal gsplat reads off the projected tensor's retained
+        grad; here it rides the normal grad computation as an extra argument."""
         cfg = self.config
         flip = jnp.diag(jnp.array([1.0, -1.0, -1.0]))
         r_cv = c2w_opengl[:3, :3] @ flip
@@ -85,6 +93,8 @@ class SplatfactoModel(nn.Module):
         proj = G.project_gaussians_camera(
             self.means, covars, viewmat, K, width, height, near_plane=cfg.near_plane, eps2d=cfg.eps2d
         )
+        if means2d_offset is not None:
+            proj = proj._replace(means2d=proj.means2d + means2d_offset)
         colors = self._sh_colors(c2w_opengl[:3, 3])
         rgb, depth, alpha = GR.rasterize_camera(
             proj,
@@ -98,7 +108,12 @@ class SplatfactoModel(nn.Module):
         )
         bg = jnp.asarray(cfg.background_color)
         rgb = jnp.clip(rgb + (1.0 - alpha) * bg, 0.0, 1.0)
-        return {"rgb": rgb, "depth": depth, "accumulation": alpha}
+        return {
+            "rgb": rgb,
+            "depth": depth,
+            "accumulation": alpha,
+            "radii": jax.lax.stop_gradient(proj.radii),
+        }
 
     def __call__(self, c2w, K, width, height):
         return self.render(c2w, K, width, height)

@@ -27,7 +27,16 @@ from neurad_tpu.engine.optimizers import OptimizerGroupConfig, build_optimizer
 from neurad_tpu.engine.trainer import TrainState
 from neurad_tpu.model_components import losses as L
 from neurad_tpu.model_components.dynamic_actors import actor_data_from_trajectories, empty_actor_data
-from neurad_tpu.model_components.strategy import MCMCStrategyConfig, mcmc_add_noise, mcmc_relocate, should_refine
+from neurad_tpu.model_components.strategy import (
+    DefaultStrategyConfig,
+    MCMCStrategyConfig,
+    default_refine,
+    mcmc_add_noise,
+    mcmc_relocate,
+    reset_opacities,
+    should_refine,
+    should_refine_default,
+)
 from neurad_tpu.models.splatad import GaussianInit, SplatADConfig, SplatADModel, seed_gaussians
 
 # Per-group lr presets (`configs/method_configs.py` splatad preset uses separate
@@ -64,7 +73,12 @@ class SplatADPipelineConfig:
         default_factory=FullImageLidarDataManagerConfig
     )
     model: SplatADConfig = SplatADConfig()
+    # densification: "mcmc" (fixed-capacity relocation, the SplatAD paper's
+    # choice) or "default" (absgrad grow/split/prune, reference
+    # ADDefaultStrategy `strategy.py:18-126`)
+    strategy: str = "mcmc"
     mcmc: MCMCStrategyConfig = MCMCStrategyConfig()
+    default_strategy: DefaultStrategyConfig = DefaultStrategyConfig()
     cap_max: int = 500_000
     optimizer_groups: dict = dataclasses.field(default_factory=lambda: dict(SPLATAD_OPTIMIZER_GROUPS))
     seed: int = 0
@@ -98,6 +112,9 @@ class SplatADPipeline:
         )
         self._camera_step = None
         self._lidar_step = None
+        # absgrad running stats (Default strategy; camera steps only)
+        self._grad2d_sum = None
+        self._count = None
 
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
@@ -112,27 +129,43 @@ class SplatADPipeline:
     # ------------------------------------------------------------------
 
     def _make_camera_step(self):
+        use_absgrad = self.config.strategy == "default"
+        n_gauss = self.config.cap_max
+
         def step(state: TrainState, c2w, K, image, time, sensor_idx, cam_idx, lin_vel, rs_time, t_center):
             h, w = image.shape[0], image.shape[1]
 
-            def loss_fn(p):
+            def loss_fn(p, offset):
                 out = self.model.apply(
                     p, c2w, K, w, h, time, sensor_idx, cam_idx,
                     cam_linear_vel=lin_vel,
                     rolling_shutter_time=rs_time,
                     time_to_center_pixel=t_center,
                     train=True,
+                    means2d_offset=offset,
                     method=SplatADModel.get_camera_outputs,
                 )
-                return self.model.apply(p, out, image, method=SplatADModel.camera_loss)
+                total, metrics = self.model.apply(p, out, image, method=SplatADModel.camera_loss)
+                return total, (metrics, out["radii"])
 
             rng, _ = jax.random.split(state.rng)
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            offset = jnp.zeros((n_gauss, 2))
+            (loss, (metrics, radii)), (grads, g_off) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, offset)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             metrics = dict(metrics)
             metrics["total_loss"] = loss
-            return state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng), metrics
+            if use_absgrad:
+                # gsplat _update_state: pixel grads scaled by half the image dims
+                g2d = jnp.linalg.norm(g_off * jnp.array([w / 2.0, h / 2.0]), axis=-1)
+                visible = radii > 0
+                aux = (jnp.where(visible, g2d, 0.0), visible.astype(jnp.int32))
+            else:
+                aux = (jnp.zeros(n_gauss), jnp.zeros(n_gauss, jnp.int32))
+            new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng)
+            return new_state, metrics, aux
 
         return jax.jit(step, donate_argnums=(0,), static_argnums=())
 
@@ -160,7 +193,7 @@ class SplatADPipeline:
         if isinstance(sample, CameraSample):
             if self._camera_step is None:
                 self._camera_step = self._make_camera_step()
-            state, metrics = self._camera_step(
+            state, metrics, (g2d, vis) = self._camera_step(
                 state,
                 jnp.asarray(sample.c2w),
                 jnp.asarray(sample.K),
@@ -172,6 +205,12 @@ class SplatADPipeline:
                 sample.rolling_shutter_time,
                 sample.time_to_center_pixel,
             )
+            if self.config.strategy == "default":
+                if self._grad2d_sum is None:
+                    self._grad2d_sum = jnp.zeros_like(g2d)
+                    self._count = jnp.zeros_like(vis)
+                self._grad2d_sum = self._grad2d_sum + g2d
+                self._count = self._count + vis
         else:
             assert isinstance(sample, LidarSample)
             if self._lidar_step is None:
@@ -188,9 +227,45 @@ class SplatADPipeline:
             )
 
         step = int(state.step)
-        if should_refine(step, self.config.mcmc):
+        if self.config.strategy == "default":
+            cfg = self.config.default_strategy
+            if should_refine_default(step, cfg):
+                state = self._refine_default(state)
+            if step % cfg.reset_every == 0 and 0 < step < cfg.refine_stop_iter:
+                p = dict(state.params["params"])
+                keys = ("means", "scales", "quats", "opacities", "features")
+                sub = reset_opacities({k: p[k] for k in keys}, cfg)
+                p.update({k: sub[k] for k in keys})
+                state = state.replace(params={**state.params, "params": p})
+        elif should_refine(step, self.config.mcmc):
             state = self._refine(state)
         return state, metrics
+
+    def _refine_default(self, state: TrainState) -> TrainState:
+        """absgrad grow/split/prune with actor-aware culling (reference
+        ADDefaultStrategy, `strategy.py:18-126`)."""
+        cfg = self.config.default_strategy
+        rng, r = jax.random.split(state.rng)
+        p = dict(state.params["params"])
+        gauss_keys = ("means", "scales", "quats", "opacities", "features")
+        gauss = {k: p[k] for k in gauss_keys}
+        gauss["id"] = self.model.init_data.ids
+
+        n_actors = self.model.actor_data.n_actors
+        bounds = None
+        if n_actors:
+            bounds = jnp.asarray(self.model.actor_data.sizes) / 2.0 + jnp.asarray((0.25, 0.25, 0.1))
+        scene_scale = float(np.abs(np.asarray(self.outputs.scene_box.aabb)).max())
+        grad_avg = self._grad2d_sum / jnp.clip(self._count.astype(jnp.float32), 1.0, None)
+        new_gauss, _ = default_refine(
+            r, gauss, grad_avg, cfg, scene_scale, step=int(state.step),
+            actor_bounds=bounds, n_actors=n_actors,
+        )
+        for k in gauss_keys:
+            p[k] = new_gauss[k]
+        self._grad2d_sum = jnp.zeros_like(self._grad2d_sum)
+        self._count = jnp.zeros_like(self._count)
+        return state.replace(params={**state.params, "params": p}, rng=rng)
 
     def _refine(self, state: TrainState) -> TrainState:
         """MCMC relocate + exploration noise (post-backward callback,

@@ -1,0 +1,216 @@
+"""Splatfacto training pipeline: camera-only 3DGS with Default-strategy
+densification (grow/split/prune) at fixed capacity.
+
+TPU-native counterpart of the reference's splatfacto training
+(`nerfstudio/models/splatfacto.py:150-760` + gsplat `DefaultStrategy`): the
+reference reallocates parameter tensors every refine; here the gaussian arrays
+are allocated once at `capacity` and dead slots are encoded in-band
+(`model_components/strategy.py` ADDefaultStrategy section), so every train step
+compiles once. The absgrad densification signal comes from a zeros-valued
+`means2d_offset` argument whose gradient equals d(loss)/d(means2d).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neurad_tpu.data.dataparsers.base import ADDataparserOutputs
+from neurad_tpu.engine.trainer import TrainState
+from neurad_tpu.model_components import losses as L
+from neurad_tpu.model_components.strategy import (
+    DEAD_OPACITY,
+    DEAD_SCALE,
+    DefaultStrategyConfig,
+    alive_mask,
+    default_refine,
+    reset_opacities,
+    should_refine_default,
+)
+from neurad_tpu.models.splatfacto import SplatfactoConfig, SplatfactoModel, random_init_gaussians
+
+
+@dataclasses.dataclass
+class SplatfactoPipelineConfig:
+    model: SplatfactoConfig = dataclasses.field(default_factory=SplatfactoConfig)
+    strategy: DefaultStrategyConfig = dataclasses.field(default_factory=DefaultStrategyConfig)
+    capacity: int = 100_000
+    num_init: int = 30_000
+    seed: int = 0
+    # per-group lrs (reference `splatfacto.py` optimizer table)
+    lr_means: float = 1.6e-4
+    lr_scales: float = 5e-3
+    lr_quats: float = 1e-3
+    lr_sh_dc: float = 2.5e-3
+    lr_sh_rest: float = 1.25e-4
+    lr_opacities: float = 5e-2
+
+
+def _pad_dead(params: Dict[str, np.ndarray], capacity: int) -> Dict[str, np.ndarray]:
+    """Grow arrays to `capacity`, marking the padding as dead slots."""
+    n = params["means"].shape[0]
+    pad = capacity - n
+    if pad <= 0:
+        return params
+    out = {}
+    for k, v in params.items():
+        fill = np.zeros((pad,) + v.shape[1:], v.dtype)
+        if k == "scales":
+            fill[:] = DEAD_SCALE
+        elif k == "opacities":
+            fill[:] = DEAD_OPACITY
+        elif k == "quats":
+            fill[:, 0] = 1.0
+        out[k] = np.concatenate([v, fill], axis=0)
+    return out
+
+
+class SplatfactoPipeline:
+    """Camera-only splatting over a parsed dataset's train cameras."""
+
+    def __init__(self, outputs: ADDataparserOutputs, config: Optional[SplatfactoPipelineConfig] = None):
+        self.config = config or SplatfactoPipelineConfig()
+        self.outputs = outputs
+        cfg = self.config
+
+        extent = float(np.abs(np.asarray(outputs.scene_box.aabb)).max())
+        self.scene_scale = extent
+        init = random_init_gaussians(
+            cfg.num_init, extent=extent, seed=cfg.seed, sh_degree=cfg.model.sh_degree
+        )
+        init = _pad_dead(init, cfg.capacity)
+        self.model = SplatfactoModel(init_params=init, config=cfg.model)
+
+        ev = set(outputs.eval_camera_indices)
+        self.train_indices = [i for i in range(len(outputs.images)) if i not in ev] or [0]
+        self._order = np.random.default_rng(cfg.seed)
+        self._step_count = 0
+        n = cfg.capacity
+        self._grad2d_sum = jnp.zeros(n)
+        self._count = jnp.zeros(n, jnp.int32)
+
+    # ------------------------------------------------------------------
+
+    def _camera(self, idx: int):
+        cams = self.outputs.cameras
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3] = np.asarray(cams.camera_to_worlds[idx])
+        fx, fy, cx, cy = (
+            float(np.asarray(getattr(cams, k)[idx]).reshape(-1)[0]) for k in ("fx", "fy", "cx", "cy")
+        )
+        K = np.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], dtype=np.float32)
+        img = np.asarray(self.outputs.images[idx], dtype=np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        return jnp.asarray(c2w), jnp.asarray(K), jnp.asarray(img)
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> Tuple[TrainState, object]:
+        cfg = self.config
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        rng, init_rng, state_rng = jax.random.split(rng, 3)
+        c2w, K, img = self._camera(self.train_indices[0])
+        h, w = img.shape[:2]
+        params = jax.jit(
+            lambda r: self.model.init(r, c2w, K, w, h), static_argnums=()
+        )(init_rng)
+
+        lrs = {
+            "means": cfg.lr_means * self.scene_scale,
+            "scales": cfg.lr_scales,
+            "quats": cfg.lr_quats,
+            "sh_dc": cfg.lr_sh_dc,
+            "sh_rest": cfg.lr_sh_rest,
+            "opacities": cfg.lr_opacities,
+        }
+        tx = optax.multi_transform(
+            {k: optax.adam(lr, eps=1e-15) for k, lr in lrs.items()},
+            param_labels={"params": {k: k for k in lrs}},
+        )
+        opt_state = tx.init(params)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state, rng=state_rng)
+        self.tx = tx
+        self._steps: Dict[Tuple[int, int], object] = {}
+        return state, tx
+
+    def _make_step(self, h: int, w: int):
+        model, tx = self.model, self.tx
+        n = self.config.capacity
+
+        def loss_fn(params, offset, c2w, K, img):
+            out = model.apply(params, c2w, K, w, h, means2d_offset=offset, method=SplatfactoModel.render)
+            total, metrics = model.apply(params, out, img, method=SplatfactoModel.loss)
+            return total, (metrics, out["radii"])
+
+        def step(state: TrainState, c2w, K, img):
+            rng, _ = jax.random.split(state.rng)
+            offset = jnp.zeros((n, 2))
+            (loss, (metrics, radii)), (grads, g_off) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, offset, c2w, K, img)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = dict(metrics)
+            metrics["total_loss"] = loss
+            # absgrad stats, gsplat _update_state: pixel-space grads scaled by
+            # half the image dims, counted where the gaussian was visible
+            g2d = jnp.linalg.norm(g_off * jnp.array([w / 2.0, h / 2.0]), axis=-1)
+            visible = radii > 0
+            aux = (jnp.where(visible, g2d, 0.0), visible.astype(jnp.int32))
+            return state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng), metrics, aux
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step(self, state: TrainState, cam_idx: Optional[int] = None) -> Tuple[TrainState, Dict]:
+        cfg = self.config
+        if cam_idx is None:
+            cam_idx = self.train_indices[int(self._order.integers(len(self.train_indices)))]
+        c2w, K, img = self._camera(cam_idx)
+        h, w = img.shape[:2]
+        if (h, w) not in self._steps:
+            self._steps[(h, w)] = self._make_step(h, w)
+        state, metrics, (g2d, vis) = self._steps[(h, w)](state, c2w, K, img)
+        self._grad2d_sum = self._grad2d_sum + g2d
+        self._count = self._count + vis
+
+        step = int(state.step)
+        if should_refine_default(step, cfg.strategy):
+            state = self._refine(state)
+        if step % cfg.strategy.reset_every == 0 and 0 < step < cfg.strategy.refine_stop_iter:
+            p = reset_opacities(dict(state.params["params"]), cfg.strategy)
+            state = state.replace(params={**state.params, "params": p})
+        return state, metrics
+
+    def _refine(self, state: TrainState) -> TrainState:
+        cfg = self.config
+        rng, r = jax.random.split(state.rng)
+        p = dict(state.params["params"])
+        gauss = {k: p[k] for k in ("means", "scales", "quats", "opacities", "sh_dc", "sh_rest")}
+        gauss["id"] = jnp.full((cfg.capacity,), 10**6, jnp.int32)  # all static
+        grad_avg = self._grad2d_sum / jnp.clip(self._count.astype(jnp.float32), 1.0, None)
+        new_gauss, _ = default_refine(
+            r, gauss, grad_avg, cfg.strategy, self.scene_scale, step=int(state.step)
+        )
+        new_gauss.pop("id")
+        p.update(new_gauss)
+        self._grad2d_sum = jnp.zeros_like(self._grad2d_sum)
+        self._count = jnp.zeros_like(self._count)
+        return state.replace(params={**state.params, "params": p}, rng=rng)
+
+    # ------------------------------------------------------------------
+
+    def num_alive(self, state: TrainState) -> int:
+        return int(alive_mask(state.params["params"]).sum())
+
+    def eval_psnr(self, state: TrainState) -> float:
+        vals = []
+        for ci in self.outputs.eval_camera_indices:
+            c2w, K, img = self._camera(ci)
+            h, w = img.shape[:2]
+            out = self.model.apply(state.params, c2w, K, w, h, method=SplatfactoModel.render)
+            vals.append(float(L.psnr(out["rgb"], img)))
+        return float(np.mean(vals)) if vals else float("nan")

@@ -92,6 +92,22 @@ def entrypoint(argv=None):
     print(f"[nt-train] {args.method} on {args.dataparser or cfg.dataparser}: "
           f"{cfg.trainer.max_num_iterations} iters, backend={jax.default_backend()}")
 
+    if cfg.pipeline_type == "splatfacto":
+        # camera-only splatting: pipeline samples its own train cameras
+        state, _ = pipeline.init_state(jax.random.PRNGKey(args.seed))
+        metrics = {}
+        for i in range(cfg.trainer.max_num_iterations):
+            state, m = pipeline.train_step(state)
+            if i % cfg.trainer.steps_per_log == 0:
+                metrics = {k: float(v) for k, v in m.items()}
+                metrics["num_gaussians"] = pipeline.num_alive(state)
+                writer.write_scalars(i, metrics)
+            if i > 0 and i % cfg.trainer.steps_per_eval_batch == 0:
+                metrics["eval/psnr"] = pipeline.eval_psnr(state)
+                writer.write_scalars(i, {"eval/psnr": metrics["eval/psnr"]})
+        print(f"[nt-train] done: {json.dumps(metrics)}")
+        return state
+
     if cfg.pipeline_type == "splatad":
         # full-sensor loop: the pipeline dispatches per-modality jit steps itself
         state = pipeline.init_state(jax.random.PRNGKey(args.seed))

@@ -48,3 +48,45 @@ def test_splatad_eval(pipeline):
     metrics = pipeline.eval_metrics(state)
     assert "psnr" in metrics and np.isfinite(metrics["psnr"])
     assert "depth_median_l2" in metrics and np.isfinite(metrics["depth_median_l2"])
+
+
+def test_default_strategy_camera_training():
+    """splatad with ADDefaultStrategy: camera steps accumulate absgrad stats and
+    refine runs grow/prune without shape changes."""
+    from neurad_tpu.model_components.strategy import DefaultStrategyConfig, alive_mask
+    from neurad_tpu.pipelines.splatad_pipeline import SplatADPipeline, SplatADPipelineConfig
+    from neurad_tpu.data.full_image_datamanager import FullImageLidarDataManagerConfig
+    from neurad_tpu.models.splatad import SplatADConfig
+    from neurad_tpu.data.dataparsers.synthetic import SyntheticDataParserConfig
+    from neurad_tpu.data.full_image_datamanager import CameraSample
+
+    parser = SyntheticDataParserConfig(num_frames=4, image_height=48, image_width=64).setup()
+    outputs = parser.get_dataparser_outputs()
+    config = SplatADPipelineConfig(
+        datamanager=FullImageLidarDataManagerConfig(max_lidar_points=256),
+        model=SplatADConfig(feature_dim=8, appearance_dim=4, max_per_tile=32, lidar_max_per_tile=16),
+        strategy="default",
+        default_strategy=DefaultStrategyConfig(
+            refine_start_iter=2, refine_stop_iter=100, refine_every=6, reset_every=10_000,
+            grow_grad2d=1e-8, max_grow_per_refine=256,
+        ),
+        cap_max=1024,
+    )
+    pipe = SplatADPipeline(outputs, config)
+    state = pipe.init_state(jax.random.PRNGKey(0))
+    n0 = int(alive_mask({**{k: state.params["params"][k] for k in ("scales", "opacities")}}).sum())
+
+    losses = []
+    for i in range(14):
+        # force camera samples (absgrad only accumulates on camera steps)
+        sample = pipe.datamanager.next_train()
+        while not isinstance(sample, CameraSample):
+            sample = pipe.datamanager.next_train()
+        state, m = pipe.train_step(state, sample)
+        losses.append(float(m["total_loss"]))
+
+    assert np.isfinite(losses).all()
+    p = state.params["params"]
+    assert p["means"].shape[0] == 1024, "capacity must not change"
+    n1 = int(alive_mask({k: p[k] for k in ("scales", "opacities")}).sum())
+    assert n1 != n0 or n0 == 1024, "expected densification activity"
