@@ -21,7 +21,9 @@ from neurad_tpu.data.dataparsers.base import ADDataparserOutputs
 
 # OpenGL camera (x right, y up, -z forward) mounted looking along world +x:
 # cam x -> world -y, cam y -> world +z, cam -z -> world +x.
-_CAM_ROT = np.array([[0.0, 0.0, -1.0], [-1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=np.float32).T
+# columns = camera axes in world: x_cam (image right) = -y, y_cam (up) = +z,
+# z_cam (backward) = -x  ==> the camera faces +x (the driving direction)
+_CAM_ROT = np.array([[0.0, 0.0, -1.0], [-1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=np.float32)
 
 _SPHERES = np.array(  # (x, y, z, radius)
     [[14.0, -4.0, 1.0, 1.5], [22.0, 5.0, 1.5, 2.0], [33.0, -3.0, 1.0, 1.2], [45.0, 4.0, 2.0, 2.5]],

@@ -100,6 +100,7 @@ class NeuRADField(nn.Module):
         ray_samples: RaySamples,
         train: bool = False,
         flip_rng: Optional[jax.Array] = None,
+        edits=None,
     ) -> FieldOutputs:
         gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(self.num_multisamples)
         features, directions = self.hashgrid(
@@ -108,6 +109,7 @@ class NeuRADField(nn.Module):
             ray_samples.frustums.directions,
             train=train,
             flip_rng=flip_rng,
+            edits=edits,
         )
 
         geo = self.mlp_geo(features)  # [R, S, 1 + nff_out_dim]
@@ -147,14 +149,15 @@ class NeuRADProposalField(nn.Module):
         )
         self.density_decoder = nn.Dense(1, use_bias=False)
 
-    def get_density(self, ray_samples: RaySamples) -> jnp.ndarray:
+    def get_density(self, ray_samples: RaySamples, edits=None) -> jnp.ndarray:
         gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(1)
         feats, _ = self.hashgrid(
             gaussians,
             ray_samples.times if ray_samples.times is not None else jnp.zeros_like(ray_samples.deltas[..., 0, :]),
             None,
+            edits=edits,
         )
         return trunc_exp(self.density_decoder(feats))
 
-    def __call__(self, ray_samples: RaySamples) -> jnp.ndarray:
-        return self.get_density(ray_samples)
+    def __call__(self, ray_samples: RaySamples, edits=None) -> jnp.ndarray:
+        return self.get_density(ray_samples, edits=edits)

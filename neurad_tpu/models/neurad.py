@@ -215,6 +215,7 @@ class NeuRADModel(nn.Module):
         num_cam_rays: int = 0,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        edits=None,
     ) -> Dict[str, jnp.ndarray]:
         """Neural-feature-field render (`models/neurad.py:368-424`).
 
@@ -226,9 +227,9 @@ class NeuRADModel(nn.Module):
         ray_bundle = self.camera_optimizer.apply_to_raybundle(ray_bundle)
         ray_bundle = self._scale_pixel_area(ray_bundle, num_cam_rays)
         rng_samp, rng_flip = jax.random.split(rng) if rng is not None else (None, None)
-        ray_samples, prop_weights, prop_samples = self._get_ray_samples(ray_bundle, rng_samp)
+        ray_samples, prop_weights, prop_samples = self._get_ray_samples(ray_bundle, rng_samp, edits=edits)
 
-        field_out = self.field(ray_samples, train=train, flip_rng=rng_flip)
+        field_out = self.field(ray_samples, train=train, flip_rng=rng_flip, edits=edits)
 
         if self.use_sdf:
             weights, _ = R.render_weights_from_alpha(field_out.alphas)
@@ -310,7 +311,7 @@ class NeuRADModel(nn.Module):
         scaling = jnp.where(is_cam, float(self.rgb_upsample_factor**2), 1.0)
         return ray_bundle.replace(pixel_area=ray_bundle.pixel_area * scaling)
 
-    def _get_ray_samples(self, ray_bundle: RayBundle, rng: Optional[jax.Array]):
+    def _get_ray_samples(self, ray_bundle: RayBundle, rng: Optional[jax.Array], edits=None):
         """Proposal sampling + sky-sample stretch (`neurad.py:443-459`)."""
         sky = self.sampling.sky_distance
         fars = ray_bundle.fars if ray_bundle.fars is not None else jnp.full_like(ray_bundle.pixel_area, sky)
@@ -319,7 +320,9 @@ class NeuRADModel(nn.Module):
         ray_bundle = ray_bundle.replace(nears=nears, fars=fars)
 
         spacing = power_spacing(self.sampling.power_lambda, self.sampling.power_scaling)
-        density_fns = [f.get_density for f in self.proposal_fields]
+        import functools as _ft
+
+        density_fns = [_ft.partial(f.get_density, edits=edits) for f in self.proposal_fields]
         ray_samples, weights_list, samples_list = proposal_sampler(
             ray_bundle,
             density_fns,

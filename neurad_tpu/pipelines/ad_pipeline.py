@@ -173,11 +173,17 @@ class ADPipeline:
         `all_camera` decides the pixel-area scaling per chunk (whole bundle is one
         modality at eval). jit caches per (chunk-shape, all_camera).
         """
-        if not hasattr(self, "_nff_apply"):
-            self._nff_apply = jax.jit(
-                lambda p, b, nc: self.model.apply(p, b, nc, False, None, method=NeuRADModel.get_nff_outputs),
+        if not hasattr(self, "_nff_applies"):
+            self._nff_applies = {}
+        edits = getattr(self, "_render_edits", None)  # static; one (cached) trace per edit value
+        if edits not in self._nff_applies:
+            self._nff_applies[edits] = jax.jit(
+                lambda p, b, nc: self.model.apply(
+                    p, b, nc, False, None, edits=edits, method=NeuRADModel.get_nff_outputs
+                ),
                 static_argnums=(2,),
             )
+        apply_fn = self._nff_applies[edits]
         n = bundle.origins.shape[0]
         chunk = self.config.eval_chunk
         outs = []
@@ -185,11 +191,15 @@ class ADPipeline:
             sl = slice(i, min(i + chunk, n))
             piece = tree_getitem(bundle, sl)
             m = piece.origins.shape[0]
-            outs.append(self._nff_apply(params, piece, m if all_camera else 0))
+            outs.append(apply_fn(params, piece, m if all_camera else 0))
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
-    def render_eval_camera(self, state: TrainState, cam_idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Full-image render -> (pred rgb [H', W', 3], gt rgb) (`neurad.py:624-675`)."""
+    def render_eval_camera(self, state: TrainState, cam_idx: int, edits=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Full-image render -> (pred rgb [H', W', 3], gt rgb) (`neurad.py:624-675`).
+
+        edits: optional ActorEdits applied at render time (FID actor edits,
+        `ad_pipeline.py:453-502`)."""
+        self._render_edits = edits
         bundle, gt, (hs, ws) = self.datamanager.eval_camera_bundle(cam_idx)
         nff = self._chunked_nff(state.params, bundle, all_camera=True)
         features = nff["features"].reshape(1, hs, ws, -1)
@@ -200,6 +210,7 @@ class ADPipeline:
             hs * ws,
             method=NeuRADModel.decode_features,
         )[0]
+        self._render_edits = None
         return np.asarray(rgb[0]), gt
 
     def render_eval_lidar(self, state: TrainState, scan_idx: int) -> Dict[str, np.ndarray]:
@@ -220,7 +231,7 @@ class ADPipeline:
             "directions": np.asarray(bundle.directions),
         }
 
-    def eval_fid_suite(self, state: TrainState, max_images: int = 8) -> Dict[str, float]:
+    def eval_fid_suite(self, state: TrainState, max_images: Optional[int] = None) -> Dict[str, float]:
         """Novel-view FID: lane shift +-2/3 m, vertical +1 m (`ad_pipeline.py:172-192,
         376-502`). Renders eval cameras with shifted ray origins and compares the
         feature statistics against the real eval images."""
@@ -232,11 +243,29 @@ class ADPipeline:
         lane_sign = 1
         if self.outputs.metadata and "lane_shift_sign" in self.outputs.metadata:
             lane_sign = int(self.outputs.metadata["lane_shift_sign"])
-        cams = list(self.outputs.eval_camera_indices)[:max_images]
+        cams = list(self.outputs.eval_camera_indices)
+        if max_images is not None:
+            cams = cams[:max_images]  # full eval split by default (`ad_pipeline.py:196`)
         if not cams:
             return {}
         real = [np.asarray(self.render_eval_camera(state, ci)[1]) for ci in cams]
         metrics: Dict[str, float] = {}
+
+        # actor edits: rot +-0.5 rad, trans +-2 m (`ad_pipeline.py:182-186,453-502`)
+        if getattr(self.model, "actor_data", None) is not None and self.model.actor_data.n_actors > 0:
+            from neurad_tpu.model_components.dynamic_actors import ActorEdits
+
+            actor_edits = {
+                "rot": (ActorEdits(rotation=0.5), ActorEdits(rotation=-0.5)),
+                "trans": (ActorEdits(lateral=2.0), ActorEdits(lateral=-2.0)),
+            }
+            for name, edit_list in actor_edits.items():
+                fakes = []
+                for edit in edit_list:
+                    for ci in cams:
+                        fakes.append(np.asarray(self.render_eval_camera(state, ci, edits=edit)[0]))
+                metrics[f"fid_actor_shift_{name}"] = fid(real, fakes, vgg_params=self.vgg_params)
+
         for name, (lateral, vertical) in fid_suite_shifts(lane_sign).items():
             fakes = []
             for ci in cams:
@@ -254,6 +283,55 @@ class ADPipeline:
             metrics[f"fid_{name}"] = fid(real, fakes)
         return metrics
 
+
+    def _actor_pixel_mask(self, cam_idx: int, hs: int, ws: int) -> Optional[np.ndarray]:
+        """[hs, ws] bool mask of pixels covered by projected actor boxes at the
+        camera's timestamp (producer for the reference's actor-coverage-weighted
+        metric aggregation, `ad_pipeline.py:330-346`)."""
+        ad = getattr(self.model, "actor_data", None)
+        if ad is None or ad.n_actors == 0:
+            return None
+        cams = self.outputs.cameras
+        c2w = np.eye(4, dtype=np.float64)
+        c2w[:3] = np.asarray(cams.camera_to_worlds[cam_idx])
+        t = 0.0
+        if cams.times is not None:
+            t = float(np.asarray(cams.times[cam_idx]).reshape(-1)[0])
+        ti = int(np.argmin(np.abs(ad.unique_timestamps - t)))
+        sx = ws / float(np.asarray(cams.width[cam_idx]).reshape(-1)[0])
+        sy = hs / float(np.asarray(cams.height[cam_idx]).reshape(-1)[0])
+        fx = float(np.asarray(cams.fx[cam_idx]).reshape(-1)[0]) * sx
+        fy = float(np.asarray(cams.fy[cam_idx]).reshape(-1)[0]) * sy
+        cx = float(np.asarray(cams.cx[cam_idx]).reshape(-1)[0]) * sx
+        cy = float(np.asarray(cams.cy[cam_idx]).reshape(-1)[0]) * sy
+
+        r_wc = c2w[:3, :3].T
+        t_w = c2w[:3, 3]
+        mask = np.zeros((hs, ws), dtype=bool)
+        corners_unit = np.array(
+            [[sx_, sy_, sz_] for sx_ in (-1, 1) for sy_ in (-1, 1) for sz_ in (-1, 1)], dtype=np.float64
+        )
+        for a in range(ad.n_actors):
+            if not ad.present[ti, a]:
+                continue
+            b2w = ad.poses[ti, a]
+            half = np.asarray(ad.sizes[a], dtype=np.float64) / 2.0
+            corners_w = (b2w[:3, :3] @ (corners_unit * half).T).T + b2w[:3, 3]
+            p_cam = (r_wc @ (corners_w - t_w).T).T  # camera looks down -z, y up
+            z = -p_cam[:, 2]
+            if (z <= 0.1).all():
+                continue
+            z = np.clip(z, 0.1, None)
+            us = cx + fx * p_cam[:, 0] / z
+            vs = cy - fy * p_cam[:, 1] / z
+            u0, u1 = int(np.floor(us.min())), int(np.ceil(us.max()))
+            v0, v1 = int(np.floor(vs.min())), int(np.ceil(vs.max()))
+            u0, u1 = max(u0, 0), min(u1, ws)
+            v0, v1 = max(v0, 0), min(v1, hs)
+            if u1 > u0 and v1 > v0:
+                mask[v0:v1, u0:u1] = True
+        return mask
+
     def eval_metrics(self, state: TrainState) -> Dict[str, float]:
         """PSNR/SSIM on eval cameras + lidar depth/intensity metrics
         (`ad_pipeline.py:118-142`)."""
@@ -268,14 +346,26 @@ class ADPipeline:
 
                 vgg = self.vgg_params = load_vgg19_params(jax.random.PRNGKey(1234))
             psnrs, ssims, lpipss = [], [], []
+            actor_psnrs, actor_covs = [], []
             for ci in cams:
                 pred, gt = self.render_eval_camera(state, ci)
                 psnrs.append(float(L.psnr(jnp.asarray(pred), jnp.asarray(gt))))
                 ssims.append(float(L.ssim(jnp.asarray(pred), jnp.asarray(gt))))
                 lpipss.append(float(lpips(vgg, jnp.asarray(pred), jnp.asarray(gt))))
+                amask = self._actor_pixel_mask(ci, pred.shape[0], pred.shape[1])
+                if amask is not None and amask.any():
+                    mse = float(np.mean((np.asarray(pred)[amask] - np.asarray(gt)[amask]) ** 2))
+                    actor_psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+                    actor_covs.append(float(amask.mean()))
             metrics["psnr"] = float(np.mean(psnrs))
             metrics["ssim"] = float(np.mean(ssims))
             metrics["lpips"] = float(np.mean(lpipss))
+            if actor_covs:
+                # actor metrics weighted by per-image actor coverage
+                # (`ad_pipeline.py:330-346`)
+                w = np.asarray(actor_covs)
+                metrics["actor_psnr"] = float(np.sum(np.asarray(actor_psnrs) * w) / w.sum())
+                metrics["actor_coverage"] = float(np.mean(w))
         scans = self.outputs.eval_lidar_indices
         if scans:
             from neurad_tpu.core.math_utils import chamfer_distance
