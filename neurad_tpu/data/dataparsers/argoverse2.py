@@ -62,12 +62,16 @@ class Argoverse2DataParserConfig(ADDataParserConfig):
     cameras: Tuple[str, ...] = ("ring_front_center",)
     lidars: Tuple[str, ...] = ("lidar",)
     include_deformable_actors: bool = True
+    # missing-point synthesis ON by default (the sensor table is known here;
+    # reference parsers default add_missing_points=True, e.g. zod_dataparser.py:175)
+    add_missing_points: bool = True
 
     def setup(self) -> "Argoverse2DataParser":
         return Argoverse2DataParser(self)
 
 
 class Argoverse2DataParser(ADDataParser):
+    lidar_name_for_missing_points = "ARGOVERSE2_VLP32C"
     config: Argoverse2DataParserConfig
 
     def __init__(self, config: Argoverse2DataParserConfig):

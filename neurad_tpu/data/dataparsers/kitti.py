@@ -67,6 +67,9 @@ class KittiMotDataParserConfig(ADDataParserConfig):
     cameras: Tuple[str, ...] = ("image_02",)
     lidars: Tuple[str, ...] = ("velodyne",)
     include_deformable_actors: bool = True
+    # missing-point synthesis ON by default (the sensor table is known here;
+    # reference parsers default add_missing_points=True, e.g. zod_dataparser.py:175)
+    add_missing_points: bool = True
 
     def setup(self) -> "KittiMotDataParser":
         return KittiMotDataParser(self)

@@ -73,6 +73,9 @@ def _pose_to_matrix(record: dict) -> np.ndarray:
 @dataclasses.dataclass
 class NuScenesDataParserConfig(ADDataParserConfig):
     """nuScenes options (`nuscenes_dataparser.py:121-178`)."""
+    # missing-point synthesis ON by default (the sensor table is known here;
+    # reference parsers default add_missing_points=True, e.g. zod_dataparser.py:175)
+    add_missing_points: bool = True
 
     data: str = "data/nuscenes"
     version: str = "v1.0-mini"

@@ -84,6 +84,9 @@ def _yaw_to_rotmat(yaw: np.ndarray) -> np.ndarray:
 @dataclasses.dataclass
 class PandaSetDataParserConfig(ADDataParserConfig):
     """PandaSet options (`pandaset_dataparser.py:107-155`)."""
+    # missing-point synthesis ON by default (the sensor table is known here;
+    # reference parsers default add_missing_points=True, e.g. zod_dataparser.py:175)
+    add_missing_points: bool = True
 
     data: str = "data/pandaset"
     sequence: str = "001"

@@ -49,6 +49,9 @@ class WaymoDataParserConfig(ADDataParserConfig):
     lidars: Tuple[str, ...] = ("1",)  # TOP lidar id
     include_deformable_actors: bool = True
     rolling_shutter_time: float = 0.045
+    # missing-point synthesis ON by default (the sensor table is known here;
+    # reference parsers default add_missing_points=True, e.g. zod_dataparser.py:175)
+    add_missing_points: bool = True
 
     def setup(self) -> "WaymoDataParser":
         return WaymoDataParser(self)

@@ -34,6 +34,9 @@ class ZodDataParserConfig(ADDataParserConfig):
     cameras: Tuple[str, ...] = ("front",)
     lidars: Tuple[str, ...] = ("top",)
     include_deformable_actors: bool = True
+    # missing-point synthesis ON by default (the sensor table is known here;
+    # reference parsers default add_missing_points=True, e.g. zod_dataparser.py:175)
+    add_missing_points: bool = True
 
     def setup(self) -> "ZodDataParser":
         return ZodDataParser(self)

@@ -56,3 +56,28 @@ def test_eval_cameras_excluded_from_train():
         bundle, _ = dm.next_train()
         cams = set(np.asarray(bundle.camera_indices[: 8 * 4, 0]).tolist())
         assert not (cams & eval_set)
+
+
+def test_measured_elevation_tables():
+    """Measured per-sensor beam tables (hardware calibration constants,
+    `lidar_elevation_mappings.py`): spot-check values + channel assignment."""
+    import numpy as np
+
+    from neurad_tpu.data.lidar_elevation_mappings import (
+        ELEVATION_MAPPINGS,
+        PANDAR64_ELEVATIONS,
+        WOD64_ELEVATIONS,
+        assign_channels,
+    )
+
+    assert len(PANDAR64_ELEVATIONS) == 64
+    assert abs(float(PANDAR64_ELEVATIONS[0]) - 14.882) < 1e-4
+    assert abs(float(PANDAR64_ELEVATIONS[17]) - 0.0) < 1e-6
+    assert len(WOD64_ELEVATIONS) == 64
+    assert len(ELEVATION_MAPPINGS["VELODYNE128"]) == 128
+    assert len(ELEVATION_MAPPINGS["ARGOVERSE2_VLP32C"]) == 32
+
+    # a point at exactly channel 5's elevation maps to channel 5
+    elev = np.deg2rad(float(PANDAR64_ELEVATIONS[5]))
+    pt = np.array([[10 * np.cos(elev), 0.0, 10 * np.sin(elev)]])
+    assert assign_channels(pt, PANDAR64_ELEVATIONS)[0] == 5

@@ -90,8 +90,13 @@ def test_pandaset_parser_full_pipeline(fake_pandaset, monkeypatch):
     assert len(out.images) == N_FRAMES
     assert out.images[0].dtype == np.uint8
     assert len(out.point_clouds) == N_FRAMES
-    # points moved to sensor frame: mean near origin (ego removal cuts some)
-    assert np.abs(np.mean(out.point_clouds[0][:, :3], axis=0)).max() < 10
+    # missing-point synthesis (default ON) inserts DUMMY_DISTANCE returns
+    pc = out.point_clouds[0]
+    dist = np.linalg.norm(pc[:, :3], axis=-1)
+    assert (dist > 1000).any(), "expected synthetic missing points at DUMMY_DISTANCE"
+    real = pc[dist < 1000]
+    # real points moved to sensor frame: mean near origin (ego removal cuts some)
+    assert np.abs(np.mean(real[:, :3], axis=0)).max() < 10
     # intensity normalized
     assert out.point_clouds[0][:, 3].max() <= 1.0
     # times zero-based
