@@ -119,22 +119,34 @@ class ActorEdits:
 
 def edit_boxes2world(boxes2world: jnp.ndarray, edits: ActorEdits, n_actors: int) -> jnp.ndarray:
     """Apply lateral/longitudinal/height shifts (in box frame) + yaw rotation
-    to [Q, A, 4, 4] boxes (`dynamic_actors.py:181-249`)."""
-    if edits.lateral == edits.longitudinal == edits.rotation == edits.height == 0.0:
+    to [Q, A, 4, 4] boxes (`dynamic_actors.py:181-249`).
+
+    Edit values may be python floats (static — zero edits short-circuit) or
+    traced scalars (the viewer passes slider values as array args so moving a
+    slider does NOT retrigger compilation). `index` is always static."""
+    vals = (edits.lateral, edits.longitudinal, edits.rotation, edits.height)
+    static_vals = all(isinstance(v, (int, float)) for v in vals)
+    if static_vals and all(v == 0.0 for v in vals):
         return boxes2world
     if edits.index < 0:
         sel = jnp.ones((n_actors,), dtype=bool)
     else:
         sel = jnp.zeros((n_actors,), dtype=bool).at[min(edits.index, n_actors - 1)].set(True)
 
-    shift = jnp.array([edits.lateral, edits.longitudinal, edits.height, 1.0])
+    shift = jnp.stack(
+        [jnp.asarray(v, jnp.float32) for v in (edits.lateral, edits.longitudinal, edits.height)]
+        + [jnp.asarray(1.0)]
+    )
     new_t = boxes2world @ shift  # [Q, A, 4]
     b2w = jnp.where(sel[None, :, None], new_t, boxes2world[..., 3])
     out = boxes2world.at[..., 3].set(b2w)
 
-    if edits.rotation != 0.0:
-        c, s = np.cos(edits.rotation), np.sin(edits.rotation)
-        yaw = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    if not (static_vals and edits.rotation == 0.0):
+        c, s = jnp.cos(jnp.asarray(edits.rotation)), jnp.sin(jnp.asarray(edits.rotation))
+        zero, one = jnp.zeros(()), jnp.ones(())
+        yaw = jnp.stack([
+            jnp.stack([c, -s, zero]), jnp.stack([s, c, zero]), jnp.stack([zero, zero, one])
+        ])
         rotated = jnp.einsum("ij,qajk->qaik", yaw, out[..., :3, :3])
         new_rot = jnp.where(sel[None, :, None, None], rotated, out[..., :3, :3])
         out = out.at[..., :3, :3].set(new_rot)

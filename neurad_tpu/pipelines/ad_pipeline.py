@@ -163,6 +163,120 @@ class ADPipeline:
     def make_train_step(self, tx):
         return make_train_step(self.loss_fn, tx)
 
+
+    # ------------------------------------------------------------------
+    # viewer rendering (traced edit values: sliders don't recompile)
+    # ------------------------------------------------------------------
+
+    def render_viewer_image(
+        self, params, c2w: np.ndarray, width: int, height: int, time: float, edits_vec=None
+    ) -> np.ndarray:
+        """One-jit full-frame render for the live viewer. edits_vec is a [4]
+        array (lateral, longitudinal, rotation, height) of TRACED values — the
+        counterpart of the reference's actor-edit ViewerSliders
+        (`render_state_machine.py` + `dynamic_actors.py:181-249`)."""
+        import jax.numpy as jnp
+
+        from neurad_tpu.cameras.cameras import CameraType, Cameras, full_image_coords, generate_rays
+        from neurad_tpu.model_components.dynamic_actors import ActorEdits
+
+        if not hasattr(self, "_viewer_applies"):
+            self._viewer_applies = {}
+        key = (width, height)
+        if key not in self._viewer_applies:
+
+            @jax.jit
+            def fn(params, c2w, t, ev):
+                focal = 0.7 * width
+                cams = Cameras(
+                    camera_to_worlds=c2w[None],
+                    fx=jnp.full((1, 1), focal), fy=jnp.full((1, 1), focal),
+                    cx=jnp.full((1, 1), width / 2.0), cy=jnp.full((1, 1), height / 2.0),
+                    width=jnp.full((1, 1), width, dtype=jnp.int32),
+                    height=jnp.full((1, 1), height, dtype=jnp.int32),
+                    camera_type=jnp.full((1, 1), int(CameraType.PERSPECTIVE), dtype=jnp.int32),
+                    times=jnp.full((1, 1), t),
+                )
+                coords = full_image_coords(height, width)
+                bundle = generate_rays(cams, jnp.zeros(coords.shape[0], dtype=jnp.int32), coords)
+                edits = ActorEdits(lateral=ev[0], longitudinal=ev[1], rotation=ev[2], height=ev[3], index=-1)
+                nff = self.model.apply(
+                    params, bundle, bundle.origins.shape[0], False, None, edits=edits,
+                    method=NeuRADModel.get_nff_outputs,
+                )
+                rgb = self.model.apply(
+                    params, nff["features"], (height, width), height * width,
+                    method=NeuRADModel.decode_features,
+                )[0]
+                return rgb[0]
+
+            self._viewer_applies[key] = fn
+
+        ev = jnp.zeros(4) if edits_vec is None else jnp.asarray(edits_vec, jnp.float32)
+        return np.asarray(self._viewer_applies[key](params, jnp.asarray(c2w, jnp.float32), float(time), ev))
+
+    def render_virtual_lidar(
+        self, params, origin: np.ndarray, time: float, channels: int = 32,
+        azim_res_deg: float = 1.0, fov_up: float = 5.0, fov_down: float = -15.0,
+        drop_threshold: float = 0.5, edits_vec=None,
+    ) -> np.ndarray:
+        """Virtual-lidar point cloud for the viewer (the reference's
+        LidarRenderer thread, `render_state_machine.py:361-451`): synthesize a
+        spherical scan at `origin`, render depth/intensity/ray-drop through the
+        model, and keep points whose predicted ray-drop prob < threshold.
+        Returns [N, 4] (world xyz + intensity)."""
+        import jax.numpy as jnp
+
+        from neurad_tpu.core.structs import RayBundle
+        from neurad_tpu.model_components.dynamic_actors import ActorEdits
+
+        elev = np.deg2rad(np.linspace(fov_down, fov_up, channels))
+        azim = np.deg2rad(np.arange(-180.0, 180.0, azim_res_deg))
+        el, azm = np.meshgrid(elev, azim, indexing="ij")
+        dirs = np.stack(
+            [np.cos(el) * np.cos(azm), np.cos(el) * np.sin(azm), np.sin(el)], axis=-1
+        ).reshape(-1, 3).astype(np.float32)
+        n = dirs.shape[0]
+
+        if not hasattr(self, "_viewer_lidar_applies"):
+            self._viewer_lidar_applies = {}
+        if n not in self._viewer_lidar_applies:
+
+            @jax.jit
+            def fn(params, origins, directions, t, ev):
+                bundle = RayBundle(
+                    origins=origins,
+                    directions=directions,
+                    pixel_area=jnp.full((n, 1), 1e-6),
+                    camera_indices=jnp.zeros((n, 1), jnp.int32),
+                    times=jnp.full((n, 1), t),
+                    metadata={
+                        "directions_norm": jnp.ones((n, 1)),
+                        "is_lidar": jnp.ones((n, 1), bool),
+                        "sensor_idxs": jnp.zeros((n, 1), jnp.int32),
+                    },
+                )
+                edits = ActorEdits(lateral=ev[0], longitudinal=ev[1], rotation=ev[2], height=ev[3], index=-1)
+                nff = self.model.apply(
+                    params, bundle, 0, False, None, edits=edits, method=NeuRADModel.get_nff_outputs
+                )
+                _, intensity, ray_drop = self.model.apply(
+                    params, nff["features"], (1, 1), 0, method=NeuRADModel.decode_features
+                )
+                return nff["depth"], intensity, ray_drop
+
+            self._viewer_lidar_applies[n] = fn
+
+        ev = jnp.zeros(4) if edits_vec is None else jnp.asarray(edits_vec, jnp.float32)
+        origins = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), (n, 3))
+        depth, intensity, ray_drop = self._viewer_lidar_applies[n](
+            params, origins, jnp.asarray(dirs), float(time), ev
+        )
+        depth, intensity = np.asarray(depth), np.asarray(intensity)
+        keep = 1.0 / (1.0 + np.exp(-np.asarray(ray_drop)[:, 0])) < drop_threshold
+        pts = np.asarray(origin)[None] + dirs * depth
+        return np.concatenate([pts, intensity], axis=-1)[keep]
+
     # ------------------------------------------------------------------
     # evaluation (`ad_pipeline.py:145-306`)
     # ------------------------------------------------------------------

@@ -147,33 +147,43 @@ def entrypoint(argv=None):
         # live viewer rendering against the CURRENT train state, under a lock
         # shared with the step loop (the reference's train_lock, `trainer.py:171`)
         import numpy as np
-        import jax.numpy as jnp
 
-        from neurad_tpu.cameras.cameras import CameraType, Cameras, full_image_coords, generate_rays
-        from neurad_tpu.models.neurad import NeuRADModel
         from neurad_tpu.viewer.server import ViewerServer
 
-        def render_fn(c2w, width, height, t01):
-            focal = 0.7 * width
-            cams = Cameras(
-                camera_to_worlds=jnp.asarray(c2w)[None],
-                fx=jnp.full((1, 1), focal), fy=jnp.full((1, 1), focal),
-                cx=jnp.full((1, 1), width / 2.0), cy=jnp.full((1, 1), height / 2.0),
-                width=jnp.full((1, 1), width, dtype=jnp.int32),
-                height=jnp.full((1, 1), height, dtype=jnp.int32),
-                camera_type=jnp.full((1, 1), int(CameraType.PERSPECTIVE), dtype=jnp.int32),
-                times=jnp.full((1, 1), t01 * pipeline.outputs.duration),
-            )
-            coords = full_image_coords(height, width)
-            bundle = generate_rays(cams, jnp.zeros(coords.shape[0], dtype=jnp.int32), coords)
-            nff = pipeline._chunked_nff(trainer.state.params, bundle, all_camera=True)
-            rgb = pipeline.model.apply(
-                trainer.state.params, nff["features"], (height, width), height * width,
-                method=NeuRADModel.decode_features,
-            )[0]
-            return np.asarray(rgb[0])
+        def _edits_vec(edits):
+            if not edits:
+                return None
+            return np.asarray([
+                edits.get("lateral", 0.0), edits.get("longitudinal", 0.0),
+                edits.get("rotation", 0.0), edits.get("height", 0.0),
+            ], dtype=np.float32)
 
-        ViewerServer(render_fn, port=args.viewer_port).start(background=True)
+        def render_fn(c2w, width, height, t01, edits=None):
+            return pipeline.render_viewer_image(
+                trainer.state.params, c2w, width, height,
+                t01 * pipeline.outputs.duration, _edits_vec(edits),
+            )
+
+        def lidar_fn(t01, channels, azim_res, drop_threshold, edits=None):
+            # virtual lidar mounted at the mean train-camera position
+            origin = np.asarray(pipeline.outputs.cameras.camera_to_worlds)[:, :3, 3].mean(0)
+            origin[2] += 0.5
+            return pipeline.render_virtual_lidar(
+                trainer.state.params, origin, t01 * pipeline.outputs.duration,
+                channels=channels, azim_res_deg=azim_res,
+                drop_threshold=drop_threshold, edits_vec=_edits_vec(edits),
+            )
+
+        def export_fn():
+            from neurad_tpu.scripts.export import export_pointcloud
+
+            path = run_dir / "viewer_export_pointcloud.ply"
+            export_pointcloud(pipeline, trainer.state, path)
+            return str(path)
+
+        ViewerServer(
+            render_fn, port=args.viewer_port, lidar_fn=lidar_fn, export_fn=export_fn
+        ).start(background=True)
 
     metrics = trainer.train()
     print(f"[nt-train] done: {json.dumps(metrics)}")

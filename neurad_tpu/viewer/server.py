@@ -1,12 +1,19 @@
-"""Browser viewer: orbit camera + live render + actor/time controls.
+"""Browser viewer: orbit camera + live render + actor/time/lidar controls.
 
 TPU-native counterpart of `nerfstudio/viewer/` (Viewer `viewer.py:58`,
-RenderStateMachine `render_state_machine.py:57`, LidarRenderer 361). viser is not
-in this image, so the viewer is a self-contained stdlib HTTP server + embedded
-JS page: the browser posts camera poses, the server renders through the model
-under a lock (the reference's train_lock) with resolution adaptation — low-res
-while the camera moves, full-res when static (the render state machine's
-low_move/low_static/high FSM, `render_state_machine.py:57-120`).
+RenderStateMachine `render_state_machine.py:57-120`, LidarRenderer 361-451,
+actor-edit sliders from DynamicActors, export panel). viser is not in this
+image, so the viewer is a self-contained stdlib HTTP server + embedded JS page:
+the browser posts camera poses, the server renders through the model under a
+lock (the reference's train_lock) with resolution adaptation — low-res while
+the camera moves, full-res when static (the low_move/low_static/high FSM).
+
+Endpoints:
+  GET  /         the viewer page
+  POST /render   {pose, quality, t01, edits} -> {png}
+  POST /lidar    {t01, channels, fov_up, fov_down, azim_res, drop_threshold}
+                 -> {pts: [[x,y,z,intensity], ...]} (virtual-lidar render)
+  POST /export   {} -> {path} (server-side pointcloud export hook)
 """
 
 from __future__ import annotations
@@ -23,21 +30,41 @@ import numpy as np
 _PAGE = """<!DOCTYPE html>
 <html><head><title>neurad_tpu viewer</title><style>
 body { margin:0; background:#111; color:#eee; font-family:monospace; }
-#hud { position:absolute; top:8px; left:8px; }
+#hud { position:absolute; top:8px; left:8px; background:#000a; padding:8px; border-radius:6px; }
 canvas { display:block; }
-input[type=range] { width: 200px; }
+input[type=range] { width: 160px; vertical-align: middle; }
+.row { margin: 2px 0; }
+button { background:#333; color:#eee; border:1px solid #666; border-radius:4px; }
 </style></head><body>
 <div id="hud">
-  <div>neurad_tpu viewer &mdash; drag to orbit, wheel to zoom, shift-drag to pan</div>
-  <div>time <input type="range" id="time" min="0" max="1" step="0.01" value="0"><span id="tv">0</span></div>
+  <div>neurad_tpu viewer &mdash; drag orbit, wheel zoom, shift-drag pan</div>
+  <div class="row">time <input type="range" id="time" min="0" max="1" step="0.01" value="0"><span id="tv">0</span></div>
+  <details><summary>actor edits</summary>
+    <div class="row">lateral <input type="range" id="ed_lat" min="-5" max="5" step="0.1" value="0"><span id="v_lat">0</span>m</div>
+    <div class="row">longitudinal <input type="range" id="ed_lon" min="-5" max="5" step="0.1" value="0"><span id="v_lon">0</span>m</div>
+    <div class="row">rotation <input type="range" id="ed_rot" min="-3.14" max="3.14" step="0.05" value="0"><span id="v_rot">0</span>rad</div>
+    <div class="row">height <input type="range" id="ed_hei" min="-2" max="2" step="0.1" value="0"><span id="v_hei">0</span>m</div>
+    <div class="row">actor index <input type="number" id="ed_idx" min="-1" value="-1" style="width:50px"> (-1 = all)</div>
+  </details>
+  <details><summary>virtual lidar</summary>
+    <div class="row"><label><input type="checkbox" id="lidar_on"> show point cloud</label></div>
+    <div class="row">channels <input type="number" id="li_ch" min="4" max="128" value="32" style="width:50px"></div>
+    <div class="row">azim res <input type="number" id="li_az" min="0.2" max="5" step="0.2" value="1.0" style="width:50px">deg</div>
+    <div class="row">drop thresh <input type="range" id="li_dt" min="0" max="1" step="0.05" value="0.5"><span id="v_dt">0.5</span></div>
+  </details>
+  <div class="row"><button id="export">export pointcloud</button> <span id="exp_out"></span></div>
   <div id="status"></div>
 </div>
 <canvas id="c"></canvas>
 <script>
 const canvas = document.getElementById('c');
-const ctx = canvas.getContext('2d');
-let az = 0.5, el = 0.3, dist = 30, target = [10, 0, 1], drag = null, moving = false, timer = null;
-let t01 = 0;
+const ctx = document.getElementById('c').getContext('2d');
+let az = 0.5, el = 0.3, dist = 30, target = [10, 0, 1], drag = null, timer = null;
+let t01 = 0, lidarPts = null;
+function edits() {
+  return {lateral: +ed_lat.value, longitudinal: +ed_lon.value, rotation: +ed_rot.value,
+          height: +ed_hei.value, index: parseInt(ed_idx.value)};
+}
 function pose() {
   const ce = Math.cos(el), se = Math.sin(el), ca = Math.cos(az), sa = Math.sin(az);
   const eye = [target[0] + dist*ce*ca, target[1] + dist*ce*sa, target[2] + dist*se];
@@ -48,15 +75,37 @@ function pose() {
   const u = [r[1]*f[2]-r[2]*f[1], r[2]*f[0]-r[0]*f[2], r[0]*f[1]-r[1]*f[0]];
   return [[r[0], u[0], -f[0], eye[0]], [r[1], u[1], -f[1], eye[1]], [r[2], u[2], -f[2], eye[2]]];
 }
+function drawLidar() {
+  if (!lidarPts) return;
+  const p = pose(), w = canvas.width, h = canvas.height, focal = 0.7*w;
+  // world -> cam: R^T (x - t)
+  for (const q of lidarPts) {
+    const d = [q[0]-p[0][3], q[1]-p[1][3], q[2]-p[2][3]];
+    const xc = p[0][0]*d[0]+p[1][0]*d[1]+p[2][0]*d[2];
+    const yc = p[0][1]*d[0]+p[1][1]*d[1]+p[2][1]*d[2];
+    const zc = p[0][2]*d[0]+p[1][2]*d[1]+p[2][2]*d[2];
+    if (zc > -0.1) continue;
+    const u = w/2 + focal*xc/(-zc), v = h/2 - focal*yc/(-zc);
+    if (u < 0 || u >= w || v < 0 || v >= h) continue;
+    ctx.fillStyle = `rgba(${Math.floor(80+170*q[3])},255,120,0.8)`;
+    ctx.fillRect(u, v, 2, 2);
+  }
+}
 async function render(hi) {
-  const res = await fetch('/render', {method:'POST', body: JSON.stringify({pose: pose(), quality: hi?'high':'low', t01})});
+  const res = await fetch('/render', {method:'POST', body: JSON.stringify(
+    {pose: pose(), quality: hi?'high':'low', t01, edits: edits()})});
   const data = await res.json();
   const img = new Image();
   img.onload = () => { canvas.width = window.innerWidth; canvas.height = window.innerHeight;
     ctx.imageSmoothingEnabled = false;
-    ctx.drawImage(img, 0, 0, canvas.width, canvas.height); };
+    ctx.drawImage(img, 0, 0, canvas.width, canvas.height); drawLidar(); };
   img.src = 'data:image/png;base64,' + data.png;
   document.getElementById('status').textContent = data.status || '';
+  if (hi && lidar_on.checked) {
+    const lr = await fetch('/lidar', {method:'POST', body: JSON.stringify(
+      {t01, channels: +li_ch.value, azim_res: +li_az.value, drop_threshold: +li_dt.value, edits: edits()})});
+    lidarPts = (await lr.json()).pts; drawLidar();
+  } else if (!lidar_on.checked) lidarPts = null;
 }
 function queueRender() {
   render(false);
@@ -74,23 +123,43 @@ window.onmousemove = e => {
   queueRender();
 };
 window.onwheel = e => { dist = Math.max(2, dist * (1 + e.deltaY*0.001)); queueRender(); };
-document.getElementById('time').oninput = e => {
-  t01 = parseFloat(e.target.value);
-  document.getElementById('tv').textContent = t01.toFixed(2);
-  queueRender();
+for (const [id, lab] of [['time','tv'],['ed_lat','v_lat'],['ed_lon','v_lon'],['ed_rot','v_rot'],['ed_hei','v_hei'],['li_dt','v_dt']]) {
+  document.getElementById(id).oninput = e => {
+    document.getElementById(lab).textContent = (+e.target.value).toFixed(2);
+    if (id === 'time') t01 = +e.target.value;
+    queueRender();
+  };
+}
+document.getElementById('ed_idx').onchange = queueRender;
+document.getElementById('lidar_on').onchange = queueRender;
+document.getElementById('export').onclick = async () => {
+  const r = await fetch('/export', {method:'POST', body: '{}'});
+  document.getElementById('exp_out').textContent = (await r.json()).path || 'n/a';
 };
 queueRender();
 </script></body></html>"""
 
 
 class ViewerServer:
-    """Serves the viewer page + /render endpoint.
+    """Serves the viewer page + render/lidar/export endpoints.
 
-    render_fn(c2w [3,4] numpy, width, height, time01) -> rgb [H, W, 3] float.
+    render_fn(c2w [3,4] numpy, width, height, time01, edits: dict|None) -> rgb [H, W, 3].
+    lidar_fn(time01, channels, azim_res_deg, drop_threshold, edits) -> pts [N, 4]
+        (world xyz + intensity), or None when unavailable.
+    export_fn() -> str path of the written artifact, or None.
     """
 
-    def __init__(self, render_fn: Callable, port: int = 7007, train_lock: Optional[threading.Lock] = None):
+    def __init__(
+        self,
+        render_fn: Callable,
+        port: int = 7007,
+        train_lock: Optional[threading.Lock] = None,
+        lidar_fn: Optional[Callable] = None,
+        export_fn: Optional[Callable] = None,
+    ):
         self.render_fn = render_fn
+        self.lidar_fn = lidar_fn
+        self.export_fn = export_fn
         self.port = port
         self.train_lock = train_lock or threading.Lock()
         self._server: Optional[ThreadingHTTPServer] = None
@@ -99,6 +168,14 @@ class ViewerServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            def _reply(self, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):
                 body = _PAGE.encode()
                 self.send_response(200)
@@ -110,20 +187,35 @@ class ViewerServer:
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/lidar":
+                    if outer.lidar_fn is None:
+                        return self._reply({"pts": []})
+                    with outer.train_lock:
+                        pts = outer.lidar_fn(
+                            float(req.get("t01", 0.0)),
+                            int(req.get("channels", 32)),
+                            float(req.get("azim_res", 1.0)),
+                            float(req.get("drop_threshold", 0.5)),
+                            req.get("edits"),
+                        )
+                    pts = np.asarray(pts) if pts is not None else np.zeros((0, 4))
+                    if pts.shape[0] > 20000:  # cap payload
+                        pts = pts[:: pts.shape[0] // 20000 + 1]
+                    return self._reply({"pts": np.round(pts, 3).tolist()})
+                if self.path == "/export":
+                    path = None
+                    if outer.export_fn is not None:
+                        with outer.train_lock:
+                            path = outer.export_fn()
+                    return self._reply({"path": path})
+
                 hi = req.get("quality") == "high"
                 w, h = (384, 256) if hi else (96, 64)
                 pose = np.asarray(req["pose"], dtype=np.float32)
                 with outer.train_lock:
-                    rgb = outer.render_fn(pose, w, h, float(req.get("t01", 0.0)))
+                    rgb = outer.render_fn(pose, w, h, float(req.get("t01", 0.0)), req.get("edits"))
                 png = _to_png(np.asarray(rgb))
-                payload = json.dumps(
-                    {"png": base64.b64encode(png).decode(), "status": f"{w}x{h}"}
-                ).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
+                self._reply({"png": base64.b64encode(png).decode(), "status": f"{w}x{h}"})
 
             def log_message(self, *args):
                 pass

@@ -124,3 +124,26 @@ def test_actor_edit_changes_nff(pipeline):
                               method=NeuRADModel.get_nff_outputs)
     diff = float(jnp.abs(o1["features"] - o2["features"]).max())
     assert diff > 1e-7, f"actor edit had no effect on the NFF (diff={diff})"
+
+
+def test_viewer_render_paths(pipeline):
+    """Viewer render: traced edit values (no recompile per slider move) and the
+    virtual-lidar point cloud path (`render_state_machine.py:361-451`)."""
+    state, _ = pipeline.init_state(jax.random.PRNGKey(3))
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[:3, 3] = [5.0, 0.0, 2.0]
+
+    img0 = pipeline.render_viewer_image(state.params, c2w, 48, 32, time=1.0)
+    # the CNN decoder upsamples by rgb_upsample_factor (3): features at the
+    # requested res decode to a 3x sharper frame
+    assert img0.shape == (96, 144, 3) and np.isfinite(img0).all()
+    # same jit with different edit values: must not retrace (cache size stays 1)
+    img1 = pipeline.render_viewer_image(state.params, c2w, 48, 32, time=1.0,
+                                        edits_vec=[3.0, 0.0, 0.5, 0.0])
+    assert len(pipeline._viewer_applies) == 1
+    assert img1.shape == img0.shape
+
+    pts = pipeline.render_virtual_lidar(state.params, np.array([5.0, 0.0, 2.0]), time=1.0,
+                                        channels=8, azim_res_deg=20.0, drop_threshold=1.0)
+    assert pts.ndim == 2 and pts.shape[1] == 4
+    assert pts.shape[0] > 0

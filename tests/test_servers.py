@@ -26,11 +26,20 @@ def _post(url, payload):
 def test_viewer_server_renders():
     calls = {}
 
-    def render_fn(pose, w, h, t01):
+    def render_fn(pose, w, h, t01, edits=None):
         calls["pose"] = np.asarray(pose)
+        calls["edits"] = edits
         return np.full((h, w, 3), 0.5, dtype=np.float32)
 
-    server = ViewerServer(render_fn, port=17707)
+    def lidar_fn(t01, channels, azim_res, drop_threshold, edits=None):
+        calls["lidar"] = (t01, channels, azim_res, drop_threshold)
+        return np.zeros((5, 4), dtype=np.float32)
+
+    def export_fn():
+        calls["export"] = True
+        return "/tmp/fake.ply"
+
+    server = ViewerServer(render_fn, port=17707, lidar_fn=lidar_fn, export_fn=export_fn)
     server.start(background=True)
     try:
         # page served
@@ -38,9 +47,19 @@ def test_viewer_server_renders():
             assert b"neurad_tpu viewer" in r.read()
         # render round trip
         pose = np.eye(4)[:3].tolist()
-        out = _post("http://127.0.0.1:17707/render", {"pose": pose, "quality": "low", "t01": 0.2})
+        out = _post("http://127.0.0.1:17707/render", {"pose": pose, "quality": "low", "t01": 0.2,
+                                                       "edits": {"lateral": 1.0}})
         assert "png" in out and len(out["png"]) > 100
         assert calls["pose"].shape == (3, 4)
+        assert calls["edits"] == {"lateral": 1.0}
+        # virtual lidar endpoint
+        out = _post("http://127.0.0.1:17707/lidar", {"t01": 0.5, "channels": 16, "azim_res": 2.0,
+                                                     "drop_threshold": 0.4})
+        assert len(out["pts"]) == 5
+        assert calls["lidar"] == (0.5, 16, 2.0, 0.4)
+        # export endpoint
+        out = _post("http://127.0.0.1:17707/export", {})
+        assert out["path"] == "/tmp/fake.ply" and calls.get("export")
     finally:
         server.stop()
 
