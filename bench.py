@@ -49,7 +49,9 @@ def main():
         model_overrides=dict(
             sampling=SamplingSettings(),  # (128, 64) proposals, 32 nerf samples
         ),
-        train_ray_chunk=4096,  # fits one v5e's HBM (see ops/chunking.py)
+        # per-level gathers cut the per-chunk hash intermediates ~8x, so the
+        # chunk doubles vs round 1 (fewer serialized lax.map iterations)
+        train_ray_chunk=8192,
     )
     pipe = ADPipeline(outputs, config)
     state, tx = pipe.init_state()

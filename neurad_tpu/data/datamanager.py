@@ -80,6 +80,13 @@ class ADDataManager:
 
     # ------------------------------------------------------------------
 
+    # host sampler state for bit-exact train resume (`trainer.py:456-533`)
+    def rng_state(self) -> dict:
+        return self._rng.bit_generator.state
+
+    def set_rng_state(self, state: dict) -> None:
+        self._rng.bit_generator.state = state
+
     @property
     def num_cam_rays(self) -> int:
         return self.config.num_cam_patches * self.config.patch_size**2

@@ -45,6 +45,9 @@ class OptimizerGroupConfig:
     eps: float = 1e-15
     weight_decay: float = 0.0
     max_norm: Optional[float] = None  # grad clipping per group (`optimizers.py:130-150`)
+    # per-group gradient accumulation (`engine/trainer.py:143,536-582`): the
+    # group's update applies every k steps with the mean of the k gradients
+    accum_steps: int = 1
     lr_final: Optional[float] = None
     max_steps: int = 20001
     warmup_steps: int = 0
@@ -63,7 +66,10 @@ class OptimizerGroupConfig:
             parts.append(optax.adamw(self.schedule(), eps=self.eps, weight_decay=self.weight_decay))
         else:
             parts.append(optax.adam(self.schedule(), eps=self.eps))
-        return optax.chain(*parts)
+        tx = optax.chain(*parts)
+        if self.accum_steps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accum_steps)
+        return tx
 
 
 # NeuRAD's optimizer preset (`configs/method_configs.py:395-430`).

@@ -32,6 +32,42 @@ class TrainState(struct.PyTreeNode):
 
 
 @dataclasses.dataclass
+class MetricTrackerConfig:
+    """Degradation tracking for checkpoint gating / early stopping
+    (`engine/trainer.py:54-103` MetricTracker)."""
+
+    metric: Optional[str] = None  # eval metric name; None disables tracking
+    higher_is_better: bool = True
+    margin: float = 0.1  # tolerance vs best (0.1 = 10%); <0 disables
+
+
+class MetricTracker:
+    """Tracks an eval metric to detect degradation (`trainer.py:71-103`)."""
+
+    def __init__(self, config: MetricTrackerConfig):
+        self.config = config
+        self.best: Optional[float] = None
+        self.latest: Optional[float] = None
+
+    def update(self, metrics: Dict[str, float]) -> None:
+        self.latest = metrics.get(self.config.metric) if self.config.metric else None
+        if self.latest is None:
+            return
+        if self.best is None or self._is_new_better(self.best, self.latest):
+            self.best = self.latest
+
+    def did_degrade(self, fallback: bool = False) -> bool:
+        if self.latest is None or self.best is None or self.config.margin < 0:
+            return fallback
+        sign = -1.0 if self.config.higher_is_better else 1.0
+        best = self.best * (1 + sign * self.config.margin)
+        return not self._is_new_better(best, self.latest)
+
+    def _is_new_better(self, old: float, new: float) -> bool:
+        return new >= old if self.config.higher_is_better else new <= old
+
+
+@dataclasses.dataclass
 class TrainerConfig:
     """Cadences (`engine/trainer.py:104-146`)."""
 
@@ -41,6 +77,16 @@ class TrainerConfig:
     steps_per_log: int = 100
     checkpoint_dir: Optional[str] = None
     keep_last_n_checkpoints: int = 2
+    # degraded evals skip checkpoint saving (`trainer.py:349-356,499-533`)
+    save_only_on_improvement_tracker: MetricTrackerConfig = dataclasses.field(
+        default_factory=MetricTrackerConfig
+    )
+    # stop training after `early_stop_patience` consecutive degraded evals
+    # (`trainer.py:352`); 0 disables
+    early_stopping_tracker: MetricTrackerConfig = dataclasses.field(
+        default_factory=MetricTrackerConfig
+    )
+    early_stop_patience: int = 0
 
 
 def make_train_step(
@@ -87,6 +133,11 @@ class Trainer:
         self.config = config or TrainerConfig()
         self.eval_fn = eval_fn
         self.writer = writer
+        self.save_tracker = MetricTracker(self.config.save_only_on_improvement_tracker)
+        self.early_tracker = MetricTracker(self.config.early_stopping_tracker)
+        self._degraded_evals = 0
+        # optional host-side RNG state capture for bit-exact resume
+        self.datamanager = None
         self.checkpointer = None
         if self.config.checkpoint_dir:
             import orbax.checkpoint as ocp
@@ -124,32 +175,72 @@ class Trainer:
                 if self.writer is not None:
                     self.writer.write_scalars(step, {f"eval/{k}": v for k, v in eval_metrics.items()})
                 last_metrics.update({f"eval/{k}": v for k, v in eval_metrics.items()})
+                self.save_tracker.update(eval_metrics)
+                self.early_tracker.update(eval_metrics)
+                if self.early_tracker.did_degrade():
+                    self._degraded_evals += 1
+                else:
+                    self._degraded_evals = 0
+                if cfg.early_stop_patience > 0 and self._degraded_evals >= cfg.early_stop_patience:
+                    # early stopping (`trainer.py:352`)
+                    last_metrics["early_stopped_at"] = float(step)
+                    if self.checkpointer is not None:
+                        self.save_checkpoint(force=True)
+                    return last_metrics
 
             if self.checkpointer is not None and step > 0 and step % cfg.steps_per_save == 0:
-                self.save_checkpoint()
+                # degraded evals skip saving (`trainer.py:349-356`)
+                if not self.save_tracker.did_degrade(fallback=False):
+                    self.save_checkpoint()
         if self.checkpointer is not None:
             self.save_checkpoint()
         return last_metrics
 
-    def save_checkpoint(self):
-        """Save state (step, params, opt_state) (`trainer.py:499-533`)."""
+    def save_checkpoint(self, force: bool = False):
+        """Save state (step, params, opt_state, rng, host sampler state)
+        (`trainer.py:499-533`) — device rng + datamanager rng make resume
+        bit-exact."""
+        import json as _json
+        from pathlib import Path as _Path
+
+        import numpy as _np
         import orbax.checkpoint as ocp
 
         step = int(self.state.step)
         self.checkpointer.save(
-            step, args=ocp.args.StandardSave({"params": self.state.params, "opt_state": self.state.opt_state})
+            step,
+            args=ocp.args.StandardSave(
+                {"params": self.state.params, "opt_state": self.state.opt_state, "rng": self.state.rng}
+            ),
         )
         self.checkpointer.wait_until_finished()
+        if self.config.checkpoint_dir and self.datamanager is not None:
+            rng_state = getattr(self.datamanager, "rng_state", lambda: None)()
+            if rng_state is not None:
+                (_Path(self.config.checkpoint_dir) / f"host_state_{step}.json").write_text(
+                    _json.dumps(rng_state, default=int)
+                )
 
     def load_checkpoint(self, step: Optional[int] = None):
         """Restore params/opt_state (`trainer.py:456-497`)."""
         import orbax.checkpoint as ocp
 
+        import json as _json
+        from pathlib import Path as _Path
+
         step = step if step is not None else self.checkpointer.latest_step()
-        restored = self.checkpointer.restore(
-            step,
-            args=ocp.args.StandardRestore({"params": self.state.params, "opt_state": self.state.opt_state}),
-        )
+        tmpl = {"params": self.state.params, "opt_state": self.state.opt_state, "rng": self.state.rng}
+        try:
+            restored = self.checkpointer.restore(step, args=ocp.args.StandardRestore(tmpl))
+            rng = restored["rng"]
+        except Exception:  # older 2-field checkpoints
+            tmpl.pop("rng")
+            restored = self.checkpointer.restore(step, args=ocp.args.StandardRestore(tmpl))
+            rng = self.state.rng
         self.state = self.state.replace(
-            step=jnp.asarray(step), params=restored["params"], opt_state=restored["opt_state"]
+            step=jnp.asarray(step), params=restored["params"], opt_state=restored["opt_state"], rng=rng
         )
+        if self.config.checkpoint_dir and self.datamanager is not None:
+            host = _Path(self.config.checkpoint_dir) / f"host_state_{step}.json"
+            if host.exists() and hasattr(self.datamanager, "set_rng_state"):
+                self.datamanager.set_rng_state(_json.loads(host.read_text()))

@@ -142,6 +142,8 @@ def entrypoint(argv=None):
         eval_fn=pipeline.eval_metrics,
         writer=writer,
     )
+    # host sampler state rides the checkpoint for bit-exact resume
+    trainer.datamanager = pipeline.datamanager
 
     if args.viewer:
         # live viewer rendering against the CURRENT train state, under a lock

@@ -60,3 +60,132 @@ def test_trainer_loop_and_checkpoint(tmp_path):
     trainer2.load_checkpoint()
     np.testing.assert_allclose(np.asarray(trainer2.state.params["w"]), saved_w, atol=1e-6)
     assert int(trainer2.state.step) == 20
+
+
+def test_metric_tracker_semantics():
+    """MetricTracker (`trainer.py:71-103`): degradation with margin."""
+    from neurad_tpu.engine.trainer import MetricTracker, MetricTrackerConfig
+
+    t = MetricTracker(MetricTrackerConfig(metric="psnr", higher_is_better=True, margin=0.1))
+    t.update({"psnr": 20.0})
+    assert not t.did_degrade()
+    t.update({"psnr": 19.0})  # within 10% margin of best=20
+    assert not t.did_degrade()
+    t.update({"psnr": 15.0})  # below 18.0 margin line
+    assert t.did_degrade()
+    t.update({"psnr": 25.0})  # new best
+    assert not t.did_degrade()
+
+    # lower-is-better
+    t2 = MetricTracker(MetricTrackerConfig(metric="loss", higher_is_better=False, margin=0.1))
+    t2.update({"loss": 1.0})
+    t2.update({"loss": 1.05})
+    assert not t2.did_degrade()
+    t2.update({"loss": 1.5})
+    assert t2.did_degrade()
+
+
+def test_per_group_gradient_accumulation():
+    """camera_opt-style groups update every k steps with accumulated grads
+    (`trainer.py:143,536-582`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neurad_tpu.engine.optimizers import OptimizerGroupConfig, build_optimizer
+
+    params = {"params": {"fields": {"w": jnp.ones(3)}, "camera_opt": {"w": jnp.ones(2)}}}
+    tx, st = build_optimizer(
+        params,
+        {"fields": OptimizerGroupConfig(warmup_steps=0), "camera_opt": OptimizerGroupConfig(warmup_steps=0, accum_steps=3)},
+        rules=(("camera_opt", "camera_opt"),),
+    )
+    g = jax.tree.map(jnp.ones_like, params)
+    cam_updates = []
+    for _ in range(3):
+        up, st = tx.update(g, st, params)
+        cam_updates.append(float(jnp.abs(up["params"]["camera_opt"]["w"]).sum()))
+        assert float(jnp.abs(up["params"]["fields"]["w"]).sum()) > 0  # every step
+    assert cam_updates[0] == 0.0 and cam_updates[1] == 0.0 and cam_updates[2] > 0.0
+
+
+def test_early_stopping_and_gated_checkpoints(tmp_path):
+    """Trainer stops after patience degraded evals; checkpoints skip on
+    degradation (`trainer.py:349-356`)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from neurad_tpu.engine.trainer import (
+        MetricTrackerConfig,
+        Trainer,
+        TrainerConfig,
+        TrainState,
+        make_train_step,
+    )
+    import optax
+
+    tx = optax.sgd(0.1)
+    params = {"w": jnp.ones(2)}
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), rng=jax.random.PRNGKey(0))
+    step = make_train_step(lambda p, b, batch, rng: (jnp.sum(p["w"] ** 2), {}), tx, donate=False)
+
+    evals = itertools.chain([{"psnr": 20.0}], itertools.repeat({"psnr": 5.0}))
+    cfg = TrainerConfig(
+        max_num_iterations=100, steps_per_eval_batch=5, steps_per_save=10**9,
+        steps_per_log=50,
+        early_stopping_tracker=MetricTrackerConfig(metric="psnr", margin=0.1),
+        early_stop_patience=2,
+    )
+    batches = itertools.repeat((jnp.zeros((4, 3)), {}))
+    tr = Trainer(step, state, batches, cfg, eval_fn=lambda s: next(evals))
+    metrics = tr.train()
+    # evals at 5 (20.0), 10 (5.0, degraded#1), 15 (5.0, degraded#2) -> stop
+    assert metrics.get("early_stopped_at") == 15.0
+
+
+def test_checkpoint_roundtrip_with_rng_and_host_state(tmp_path):
+    """save/load restores params, opt_state, device rng AND the datamanager's
+    host sampler state -> bit-exact resume (`trainer.py:456-533`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from neurad_tpu.engine.trainer import Trainer, TrainerConfig, TrainState, make_train_step
+
+    class FakeDM:
+        def __init__(self):
+            self._rng = np.random.default_rng(7)
+
+        def rng_state(self):
+            return self._rng.bit_generator.state
+
+        def set_rng_state(self, state):
+            self._rng.bit_generator.state = state
+
+    tx = optax.sgd(0.1)
+    params = {"w": jnp.ones(2)}
+    state = TrainState(step=jnp.asarray(3, jnp.int32), params={"w": jnp.full(2, 2.5)},
+                       opt_state=tx.init(params), rng=jax.random.PRNGKey(42))
+    step = make_train_step(lambda p, b, batch, rng: (jnp.sum(p["w"] ** 2), {}), tx, donate=False)
+    cfg = TrainerConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    tr = Trainer(step, state, iter([]), cfg)
+    dm = FakeDM()
+    dm._rng.integers(0, 100, size=13)  # advance the host sampler
+    tr.datamanager = dm
+    saved_host = dm.rng_state()
+    tr.save_checkpoint()
+
+    # fresh trainer with different state restores everything
+    state2 = TrainState(step=jnp.zeros((), jnp.int32), params={"w": jnp.zeros(2)},
+                        opt_state=tx.init(params), rng=jax.random.PRNGKey(0))
+    tr2 = Trainer(step, state2, iter([]), cfg)
+    dm2 = FakeDM()
+    tr2.datamanager = dm2
+    tr2.load_checkpoint()
+    np.testing.assert_allclose(np.asarray(tr2.state.params["w"]), 2.5)
+    assert int(tr2.state.step) == 3
+    np.testing.assert_array_equal(np.asarray(tr2.state.rng), np.asarray(jax.random.PRNGKey(42)))
+    assert dm2.rng_state() == saved_host
