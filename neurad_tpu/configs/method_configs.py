@@ -146,7 +146,7 @@ def _splatad_tiny() -> MethodConfig:
                               steps_per_log=10),
         pipeline=SplatADPipelineConfig(
             datamanager=FullImageLidarDataManagerConfig(max_lidar_points=512),
-            model=SplatADConfig(feature_dim=8, appearance_dim=4, max_per_tile=64, lidar_max_per_tile=32),
+            model=SplatADConfig(num_downscales=0, feature_dim=8, appearance_dim=4, max_per_tile=64, lidar_max_per_tile=32),
             mcmc=MCMCStrategyConfig(cap_max=2048, refine_start_iter=10, refine_every=25),
             cap_max=2048,
         ),

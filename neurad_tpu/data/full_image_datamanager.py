@@ -165,14 +165,50 @@ class FullImageLidarDataManager:
         while True:
             yield self.next_train()
 
-    def all_seed_points(self) -> np.ndarray:
-        """World-frame accumulated point cloud for gaussian seeding
-        (`base_pipeline.py:260-288`)."""
-        pts = []
+    def all_seed_points(self, paint_topk: int = 4) -> np.ndarray:
+        """World-frame accumulated point cloud for gaussian seeding, painted
+        with camera RGB from the top-k nearest-in-time cameras
+        (`base_pipeline.py:260-288` + `full_images_lidar_datamanager.py:513-562`
+        paint_points). Returns [N, 8]: xyz, intensity, r, g, b, time."""
+        cams = self.outputs.cameras
+        cam_times = (
+            np.asarray(cams.times[:, 0]) if cams.times is not None else np.zeros(len(self.outputs.images))
+        )
+        out = []
         for i in self.train_lidars:
             pc = self.outputs.point_clouds[i]
             l2w = np.asarray(self.outputs.lidars.lidar_to_worlds[i])
-            world = pc[:, :3] @ l2w[:3, :3].T + l2w[:3, 3]
             keep = np.linalg.norm(pc[:, :3], axis=-1) < 1e3  # drop missing-point dummies
-            pts.append(np.concatenate([world[keep], pc[keep, 3:4]], axis=-1))
-        return np.concatenate(pts) if pts else np.zeros((0, 4), dtype=np.float32)
+            world = pc[keep, :3] @ l2w[:3, :3].T + l2w[:3, 3]
+            t_scan = (
+                float(np.asarray(self.outputs.lidars.times[i]).reshape(-1)[0])
+                if self.outputs.lidars.times is not None
+                else 0.0
+            )
+            rgb = np.random.default_rng(i).uniform(size=(world.shape[0], 3)).astype(np.float32)
+            k = min(paint_topk, len(cam_times))
+            nearest = np.argsort(np.abs(cam_times - t_scan))[:k]
+            # nearest camera painted LAST wins (reference iterates topk reversed)
+            for ci in nearest[::-1]:
+                c2w = np.eye(4, dtype=np.float64)
+                c2w[:3] = np.asarray(cams.camera_to_worlds[ci])
+                p_cam = (world - c2w[:3, 3]) @ c2w[:3, :3]  # = R^T (p - t)
+                z = -p_cam[:, 2]  # camera looks down -z (OpenGL)
+                valid = z > 0.1
+                zs = np.clip(z, 0.1, None)
+                u = (float(cams.cx[ci, 0]) + float(cams.fx[ci, 0]) * p_cam[:, 0] / zs).astype(int)
+                v = (float(cams.cy[ci, 0]) - float(cams.fy[ci, 0]) * p_cam[:, 1] / zs).astype(int)
+                img = self.outputs.images[ci]
+                h, w = img.shape[:2]
+                valid &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+                col = img[np.clip(v, 0, h - 1), np.clip(u, 0, w - 1)].astype(np.float32)
+                if img.dtype == np.uint8:
+                    col = col / 255.0
+                rgb[valid] = col[valid]
+            times = np.full((world.shape[0], 1), t_scan, dtype=np.float32)
+            if pc.shape[1] > 4:  # per-point time offsets
+                times = times + pc[keep, 4:5]
+            out.append(
+                np.concatenate([world, pc[keep, 3:4], rgb, times], axis=-1).astype(np.float32)
+            )
+        return np.concatenate(out) if out else np.zeros((0, 8), dtype=np.float32)

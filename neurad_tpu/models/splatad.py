@@ -79,22 +79,52 @@ def seed_gaussians(
     """Seed from lidar points split static/dynamic by actor boxes + far/in-box
     random points (`splatad.py:314-329,544-689`), padded/subsampled to cap_max.
 
-    points: [N, >=4] world xyz + intensity; trajectories: dataparser dicts.
+    points: [N, >=4] world xyz + intensity (+ optional rgb at cols 4:7 and
+    per-point time at col 7, from the painting datamanager); trajectories:
+    dataparser dicts.
+
+    Per-time box assignment: each point is tested against the actor box POSED
+    AT THE POINT'S TIMESTAMP (`splatad.py:655-662`), not just the first pose;
+    symmetric actors get their in-box points mirror-duplicated across the
+    box x-axis (`splatad.py:672-676`).
     """
     rng = np.random.default_rng(seed)
     n_actors = len(trajectories)
 
-    # split by actor boxes at each trajectory timestep (approximate: first pose)
+    has_rgb = points.shape[1] >= 7
+    has_time = points.shape[1] >= 8
+    pt_time = points[:, 7] if has_time else np.zeros(points.shape[0], np.float32)
+
     ids = np.full(points.shape[0], n_actors, dtype=np.int32)
     means = points[:, :3].astype(np.float32).copy()
+    mirror_rows = []  # extra (mean, id, intensity, rgb) rows for symmetric actors
     for a, traj in enumerate(trajectories):
-        pose = np.asarray(traj["poses"])[0]  # [4,4] box2world at first time
-        w2b = np.linalg.inv(pose)
-        local = points[:, :3] @ w2b[:3, :3].T + w2b[:3, 3]
+        poses = np.asarray(traj["poses"])  # [T, 4, 4] box2world
+        ts = np.asarray(traj.get("timestamps", np.zeros(poses.shape[0])))
         half = np.asarray(traj["dims"]) / 2.0 + 0.25
+        # nearest trajectory pose per point time
+        ti = np.abs(pt_time[:, None] - ts[None, :]).argmin(-1) if len(ts) > 1 else np.zeros(
+            points.shape[0], np.int64
+        )
+        w2b = np.linalg.inv(poses)  # [T, 4, 4]
+        rot = w2b[ti, :3, :3]
+        tr = w2b[ti, :3, 3]
+        local = np.einsum("nij,nj->ni", rot, points[:, :3]) + tr
         inside = (np.abs(local) < half).all(-1)
         ids[inside] = a
         means[inside] = local[inside].astype(np.float32)
+        if bool(traj.get("symmetric", False)) and inside.any():
+            mirrored = local[inside].astype(np.float32).copy()
+            mirrored[:, 0] *= -1.0
+            mirror_rows.append((mirrored, a, points[inside]))
+
+    if mirror_rows:
+        m_means = np.concatenate([m for m, _, _ in mirror_rows])
+        m_ids = np.concatenate([np.full(m.shape[0], a, np.int32) for m, a, _ in mirror_rows])
+        m_src = np.concatenate([src_pts for _, _, src_pts in mirror_rows])
+        means = np.concatenate([means, m_means])
+        ids = np.concatenate([ids, m_ids])
+        points = np.concatenate([points, m_src])
 
     # far points on inverse-depth distribution + in-box randoms (`splatad.py:314-329`)
     if scene_aabb is None:
@@ -116,6 +146,10 @@ def seed_gaussians(
     intensity = np.concatenate(
         [points[:, 3] if points.shape[1] > 3 else np.full(points.shape[0], 0.5), rng.uniform(size=extra.shape[0])]
     )
+    if has_rgb:
+        rgb = np.concatenate([points[:, 4:7], rng.uniform(size=(extra.shape[0], 3))]).astype(np.float32)
+    else:
+        rgb = None
 
     n = means.shape[0]
     if n >= cap_max:
@@ -123,12 +157,19 @@ def seed_gaussians(
     else:
         sel = np.concatenate([np.arange(n), rng.integers(0, n, size=cap_max - n)])
     means, ids, intensity = means[sel], ids[sel], intensity[sel]
+    if rgb is not None:
+        rgb = rgb[sel]
 
     # scales: log of mean distance to 3 nearest seed points, approximated by a
     # density heuristic (avoids a knn over millions of points at init)
     scales = np.full((cap_max, 3), np.log(0.3), dtype=np.float32)
     feats = np.zeros((cap_max, feature_dim), dtype=np.float32)
-    feats[:, :3] = intensity[:, None]  # gray init from intensity
+    if rgb is not None:
+        # painted camera colors seed the first feature channels
+        # (`full_images_lidar_datamanager.py:513-562` paint_points)
+        feats[:, :3] = rgb
+    else:
+        feats[:, :3] = intensity[:, None]  # gray init from intensity
     quats = np.zeros((cap_max, 4), dtype=np.float32)
     quats[:, 0] = 1.0
     op = np.full(cap_max, np.log(init_opacity / (1 - init_opacity)), dtype=np.float32)
@@ -152,6 +193,10 @@ class SplatADConfig:
     rgb_decoder_kernel_size: int = 3
     rgb_decoder_num_hidden_blocks: int = 1
     tile_size: int = 16
+    # coarse-to-fine resolution schedule (`splatad.py:162-166,808`): train at
+    # 1/2^num_downscales res, halving the downscale every resolution_schedule steps
+    num_downscales: int = 2
+    resolution_schedule: int = 3000
     max_per_tile: int = 256
     max_tiles_per_gaussian: int = 16
     near_plane: float = 0.5

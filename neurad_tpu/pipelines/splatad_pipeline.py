@@ -189,8 +189,25 @@ class SplatADPipeline:
 
         return jax.jit(step, donate_argnums=(0,))
 
+    def _downscale_sample(self, sample: CameraSample, step: int) -> CameraSample:
+        """Coarse-to-fine: 2^max(0, num_downscales - step//schedule) image
+        downscale (`splatad.py:806-810` _get_downscale_factor)."""
+        cfg = self.config.model
+        if cfg.num_downscales <= 0 or cfg.resolution_schedule <= 0:
+            return sample
+        d = 2 ** max(0, cfg.num_downscales - step // cfg.resolution_schedule)
+        if d <= 1:
+            return sample
+        img = sample.image[::d, ::d]
+        K = sample.K.copy()
+        K[:2] /= d
+        return dataclasses.replace(
+            sample, image=img, K=K, width=img.shape[1], height=img.shape[0]
+        )
+
     def train_step(self, state: TrainState, sample) -> Tuple[TrainState, Dict]:
         if isinstance(sample, CameraSample):
+            sample = self._downscale_sample(sample, int(state.step))
             if self._camera_step is None:
                 self._camera_step = self._make_camera_step()
             state, metrics, (g2d, vis) = self._camera_step(

@@ -50,7 +50,12 @@ def test_seed_points_world_frame():
                                         lidar_channels=8, lidar_azimuths=60).setup().get_dataparser_outputs()
     dm = FullImageLidarDataManager(outputs, FullImageLidarDataManagerConfig(max_lidar_points=256))
     pts = dm.all_seed_points()
-    assert pts.shape[1] == 4
+    # [N, 8]: xyz, intensity, painted rgb, time
+    assert pts.shape[1] == 8
     assert pts.shape[0] > 200
     # all within scene bounds-ish
     assert np.abs(pts[:, :3]).max() < 200
+    # painting: rgb in [0,1]; at least some points got real camera colors
+    assert 0.0 <= pts[:, 4:7].min() and pts[:, 4:7].max() <= 1.0
+    # times span the sequence
+    assert pts[:, 7].max() > pts[:, 7].min()

@@ -16,7 +16,7 @@ from neurad_tpu.model_components.strategy import (
 from neurad_tpu.models.splatad import GaussianInit, SplatADConfig, SplatADModel, seed_gaussians
 
 CAP = 512
-CFG = SplatADConfig(feature_dim=8, appearance_dim=4, max_per_tile=64, lidar_max_per_tile=32)
+CFG = SplatADConfig(num_downscales=0, feature_dim=8, appearance_dim=4, max_per_tile=64, lidar_max_per_tile=32)
 
 
 def _traj():

@@ -18,7 +18,7 @@ def pipeline():
     outputs = parser.get_dataparser_outputs()
     config = SplatADPipelineConfig(
         datamanager=FullImageLidarDataManagerConfig(max_lidar_points=512),
-        model=SplatADConfig(feature_dim=8, appearance_dim=4, max_per_tile=64, lidar_max_per_tile=32),
+        model=SplatADConfig(num_downscales=0, feature_dim=8, appearance_dim=4, max_per_tile=64, lidar_max_per_tile=32),
         mcmc=MCMCStrategyConfig(cap_max=1024, refine_start_iter=5, refine_stop_iter=100, refine_every=10),
         cap_max=1024,
     )
@@ -64,7 +64,7 @@ def test_default_strategy_camera_training():
     outputs = parser.get_dataparser_outputs()
     config = SplatADPipelineConfig(
         datamanager=FullImageLidarDataManagerConfig(max_lidar_points=256),
-        model=SplatADConfig(feature_dim=8, appearance_dim=4, max_per_tile=32, lidar_max_per_tile=16),
+        model=SplatADConfig(num_downscales=0, feature_dim=8, appearance_dim=4, max_per_tile=32, lidar_max_per_tile=16),
         strategy="default",
         default_strategy=DefaultStrategyConfig(
             refine_start_iter=2, refine_stop_iter=100, refine_every=6, reset_every=10_000,
@@ -90,3 +90,54 @@ def test_default_strategy_camera_training():
     assert p["means"].shape[0] == 1024, "capacity must not change"
     n1 = int(alive_mask({k: p[k] for k in ("scales", "opacities")}).sum())
     assert n1 != n0 or n0 == 1024, "expected densification activity"
+
+
+def test_resolution_downscale_schedule():
+    """Coarse-to-fine schedule (`splatad.py:806-810`): early steps train at
+    reduced resolution, ramping to full."""
+    import dataclasses as dc
+
+    from neurad_tpu.data.full_image_datamanager import CameraSample
+    from neurad_tpu.models.splatad import SplatADConfig
+    from neurad_tpu.pipelines.splatad_pipeline import SplatADPipeline, SplatADPipelineConfig
+
+    pipe = object.__new__(SplatADPipeline)  # only needs .config for this method
+    pipe.config = SplatADPipelineConfig(model=SplatADConfig(num_downscales=2, resolution_schedule=100))
+    img = np.zeros((64, 96, 3), np.float32)
+    s = CameraSample(c2w=np.eye(4)[:3], K=np.diag([100.0, 100.0, 1.0]), width=96, height=64,
+                     image=img, time=0.0, sensor_idx=0, cam_idx=0,
+                     linear_velocity=np.zeros(3), rolling_shutter_time=0.0, time_to_center_pixel=0.0)
+    s0 = pipe._downscale_sample(s, 0)
+    assert (s0.height, s0.width) == (16, 24)
+    assert abs(s0.K[0, 0] - 25.0) < 1e-6
+    s1 = pipe._downscale_sample(s, 100)
+    assert (s1.height, s1.width) == (32, 48)
+    s2 = pipe._downscale_sample(s, 200)
+    assert (s2.height, s2.width) == (64, 96)
+
+
+def test_seed_gaussians_per_time_mirror_and_rgb():
+    """Seeding: per-time box assignment, symmetric mirror duplication, painted
+    RGB feature init (`splatad.py:632-689` + paint_points)."""
+    from neurad_tpu.models.splatad import seed_gaussians
+
+    # actor moves from x=0 (t=0) to x=10 (t=1); symmetric
+    poses = np.broadcast_to(np.eye(4, dtype=np.float32), (2, 4, 4)).copy()
+    poses[1, 0, 3] = 10.0
+    traj = {"poses": poses, "timestamps": np.array([0.0, 1.0]), "dims": np.array([2.0, 2.0, 2.0]),
+            "symmetric": True, "deformable": False}
+    # a point at x=10 at t=1 is INSIDE the box only with per-time assignment
+    pts = np.array([
+        [10.5, 0.5, 0.0, 0.8, 1.0, 0.0, 0.0, 1.0],   # in box at t=1, red
+        [50.0, 0.0, 0.0, 0.2, 0.0, 1.0, 0.0, 0.0],   # static, green
+    ], dtype=np.float32)
+    init = seed_gaussians(pts, [traj], cap_max=64, feature_dim=8, n_far_points=4, seed=0)
+    actor_rows = init.ids == 0
+    assert actor_rows.sum() >= 2, "expected in-box point + its mirror"
+    actor_means = init.means[actor_rows]
+    # mirror: both +y offsets at x=+0.5 (local ~ (0, 0.5)) and x=-0.5 present... x mirrored
+    xs = np.sort(np.round(actor_means[:, 0], 2))
+    assert (xs < 0).any() and (xs > 0).any(), f"no mirrored x: {xs}"
+    # painted red color seeds features of the in-box rows
+    red_rows = init.features[actor_rows][:, 0]
+    assert (red_rows > 0.9).all()
