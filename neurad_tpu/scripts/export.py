@@ -115,14 +115,26 @@ def entrypoint(argv=None):
     elif args.mode == "gaussian-splat":
         n = export_gaussian_splat(state.params, out)
         print(f"[nt-export] wrote {n} gaussians to {out}")
-    else:  # camera-poses
+    else:  # camera-poses (transforms.json-style, `exporter.py` ExportCameraPoses)
         import json
 
         cams = pipeline.outputs.cameras
-        poses = np.asarray(cams.camera_to_worlds).tolist()
+        frames = []
+        for i in range(np.asarray(cams.camera_to_worlds).shape[0]):
+            frames.append({
+                "camera_to_world": np.asarray(cams.camera_to_worlds[i]).tolist(),
+                "fx": float(np.asarray(cams.fx[i]).reshape(-1)[0]),
+                "fy": float(np.asarray(cams.fy[i]).reshape(-1)[0]),
+                "cx": float(np.asarray(cams.cx[i]).reshape(-1)[0]),
+                "cy": float(np.asarray(cams.cy[i]).reshape(-1)[0]),
+                "w": int(np.asarray(cams.width[i]).reshape(-1)[0]),
+                "h": int(np.asarray(cams.height[i]).reshape(-1)[0]),
+                "time": float(np.asarray(cams.times[i]).reshape(-1)[0]) if cams.times is not None else None,
+                "split": "eval" if i in set(pipeline.outputs.eval_camera_indices) else "train",
+            })
         out = out.with_suffix(".json")
-        out.write_text(json.dumps({"camera_to_worlds": poses}))
-        print(f"[nt-export] wrote camera poses to {out}")
+        out.write_text(json.dumps({"frames": frames}, indent=1))
+        print(f"[nt-export] wrote {len(frames)} camera poses to {out}")
 
 
 if __name__ == "__main__":
