@@ -1,0 +1,50 @@
+"""Golden training regression: fixed seed, fixed batch sequence, pinned loss
+curve. The real-data counterpart (PandaSet PSNR vs the reference) needs a
+license-gated dataset this environment cannot fetch; this pins the numerics of
+the full train step (sampling -> hash encode -> field -> render -> losses ->
+optimizer) so silent numerical drift across refactors is caught.
+
+Regenerate goldens: run the body of `_train_curve` and paste the values
+(only after an INTENTIONAL numerics change).
+"""
+
+import jax
+import numpy as np
+
+from neurad_tpu.data.datamanager import ADDataManagerConfig
+from neurad_tpu.data.dataparsers.synthetic import SyntheticDataParserConfig
+from neurad_tpu.pipelines.ad_pipeline import ADPipeline, ADPipelineConfig
+from tests.test_e2e_train import TINY_MODEL
+
+# loss at steps 0, 5, 10, 15, 20, 25 (seed 0, recorded on the 8-dev CPU mesh)
+GOLDEN_LOSSES = [0.6159, 0.6086, 0.54476, 0.56762, 0.56766, 0.49196]
+
+
+def _train_curve(n_steps=30):
+    parser = SyntheticDataParserConfig(num_frames=6, image_height=36, image_width=48).setup()
+    outputs = parser.get_dataparser_outputs()
+    config = ADPipelineConfig(
+        datamanager=ADDataManagerConfig(num_cam_patches=4, patch_size=6, num_lidar_rays=256),
+        model_overrides=TINY_MODEL,
+        train_ray_chunk=0,
+        seed=0,
+    )
+    pipe = ADPipeline(outputs, config)
+    state, tx = pipe.init_state(jax.random.PRNGKey(0))
+    step = pipe.make_train_step(tx)
+    losses = []
+    for _ in range(n_steps):
+        b = pipe.datamanager.next_train()
+        state, m = step(state, *b)
+        losses.append(float(m["total_loss"]))
+    return losses, float(m["psnr"])
+
+
+def test_golden_loss_curve():
+    losses, psnr = _train_curve()
+    got = losses[::5]
+    # fp reduction order may shift slightly across XLA versions; 1% relative
+    # tolerance catches real numerics bugs while tolerating scheduler noise
+    np.testing.assert_allclose(got, GOLDEN_LOSSES, rtol=1e-2)
+    assert psnr > 10.5, f"PSNR regression: {psnr}"
+    assert losses[-1] < losses[0]
