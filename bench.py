@@ -49,9 +49,7 @@ def main():
         model_overrides=dict(
             sampling=SamplingSettings(),  # (128, 64) proposals, 32 nerf samples
         ),
-        # per-level gathers cut the per-chunk hash intermediates ~8x, so the
-        # chunk doubles vs round 1 (fewer serialized lax.map iterations)
-        train_ray_chunk=8192,
+        train_ray_chunk=4096,  # measured best on v5e (8192 was ~11% slower)
     )
     pipe = ADPipeline(outputs, config)
     state, tx = pipe.init_state()

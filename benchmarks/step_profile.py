@@ -50,7 +50,7 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     results = {}
 
-    if which in ("all", "chunks"):
+    if which in ("chunks",):
         for chunk in (4096, 8192, 0):
             try:
                 pipe = build(chunk)

@@ -50,7 +50,9 @@ class Vgg19Slices(nn.Module):
         i_conv = 0
         for chans, pools in zip(_SLICES, _POOL_BEFORE):
             for c, pool in zip(chans, pools):
-                if pool:
+                # skip pooling once the map is 1px (tiny patches would otherwise
+                # produce 0-element tensors and NaN means)
+                if pool and min(x.shape[1], x.shape[2]) >= 2:
                     x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 x = nn.Conv(c, (3, 3), padding="SAME", name=f"conv_{i_conv}")(x)
                 x = nn.relu(x)
@@ -63,7 +65,9 @@ def load_vgg19_params(rng: jax.Array, sample_hw: int = 32) -> dict:
     """Init VGG19 params; load pretrained weights from NEURAD_TPU_VGG19_WEIGHTS
     (.npz with torchvision `features.N.weight/bias` keys) when present."""
     module = Vgg19Slices()
-    params = module.init(rng, jnp.zeros((1, sample_hw, sample_hw, 3)))
+    # jitted init: eager flax init dispatches hundreds of ops — pathological
+    # over the remote-TPU tunnel
+    params = jax.jit(lambda r: module.init(r, jnp.zeros((1, sample_hw, sample_hw, 3))))(rng)
     path = os.environ.get("NEURAD_TPU_VGG19_WEIGHTS")
     if not path or not os.path.exists(path):
         return params
@@ -89,7 +93,7 @@ def vgg19_slices_apply(vgg_params: dict, x: jnp.ndarray) -> List[jnp.ndarray]:
     i_conv = 0
     for chans, pools in zip(_SLICES, _POOL_BEFORE):
         for _c, pool in zip(chans, pools):
-            if pool:
+            if pool and min(x.shape[1], x.shape[2]) >= 2:
                 x = jax.lax.reduce_window(
                     x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
                 )
