@@ -40,6 +40,10 @@ class ADDataManagerConfig:
     num_lidar_rays: int = 16384
     rgb_upsample_factor: int = 3
     prefetch: int = 2
+    # sampler threads feeding the prefetch queue (the reference runs N worker
+    # processes, `image_lidar_datamanager.py:232-250`; host numpy sampling here
+    # releases the GIL in the big gathers, so threads scale similarly)
+    num_workers: int = 2
 
 
 class ADDataManager:
@@ -97,15 +101,18 @@ class ADDataManager:
 
     def next_train(self) -> Tuple[RayBundle, Dict[str, jnp.ndarray]]:
         """One training batch: (RayBundle [cam..lidar], batch dict)."""
+        return self._sample_with_rng(self._rng)
+
+    def _sample_with_rng(self, rng: np.random.Generator) -> Tuple[RayBundle, Dict[str, jnp.ndarray]]:
         cfg = self.config
         d, up = cfg.patch_size, cfg.rgb_upsample_factor
         gt = d * up
         n_img, h, w = self.images.shape[:3]
 
         # --- camera patches (`pixel_samplers.py:698-717`) ---
-        cam_choice = self._rng.choice(self.train_cam_indices, size=cfg.num_cam_patches)
-        r0 = self._rng.integers(0, h - gt + 1, size=cfg.num_cam_patches)
-        c0 = self._rng.integers(0, w - gt + 1, size=cfg.num_cam_patches)
+        cam_choice = rng.choice(self.train_cam_indices, size=cfg.num_cam_patches)
+        r0 = rng.integers(0, h - gt + 1, size=cfg.num_cam_patches)
+        c0 = rng.integers(0, w - gt + 1, size=cfg.num_cam_patches)
         # ray pixel coords at the center of each up x up block
         k = np.arange(d) * up + up / 2.0
         rows = r0[:, None, None] + k[None, :, None]  # [B, D, 1]
@@ -123,7 +130,7 @@ class ADDataManager:
 
         # --- lidar points (`pixel_samplers.py:530-584`) ---
         if self.points.shape[0] > 0 and cfg.num_lidar_rays > 0:
-            pt_idx = self._rng.integers(0, self.points.shape[0], size=cfg.num_lidar_rays)
+            pt_idx = rng.integers(0, self.points.shape[0], size=cfg.num_lidar_rays)
             pts = self.points[pt_idx]
             scan = self.point_scan_ids[pt_idx]
             lidar_bundle = self._gen_lidar_rays(
@@ -145,13 +152,23 @@ class ADDataManager:
         """Background-thread prefetching iterator (replaces the reference's
         mp.Queue workers, `image_lidar_datamanager.py:232-307`)."""
 
-        def _worker():
+        def _worker(wid: int, seed: int):
+            # per-worker rng stream forked from the master seed (deterministic,
+            # no lock contention on self._rng)
+            rng = np.random.default_rng(seed)
             while True:
-                self._queue.put(self.next_train())
+                self._queue.put(self._sample_with_rng(rng))
 
         if self._thread is None:
-            self._thread = threading.Thread(target=_worker, daemon=True)
-            self._thread.start()
+            n_workers = max(1, self.config.num_workers)
+            self._thread = [
+                threading.Thread(
+                    target=_worker, args=(w, int(self._rng.integers(0, 2**62)) + w), daemon=True
+                )
+                for w in range(n_workers)
+            ]
+            for t in self._thread:
+                t.start()
         while True:
             yield self._queue.get()
 

@@ -126,6 +126,7 @@ class Trainer:
         config: Optional[TrainerConfig] = None,
         eval_fn: Optional[Callable[[TrainState], Dict[str, float]]] = None,
         writer=None,
+        callbacks=None,
     ):
         self.train_step = train_step
         self.state = state
@@ -133,6 +134,7 @@ class Trainer:
         self.config = config or TrainerConfig()
         self.eval_fn = eval_fn
         self.writer = writer
+        self.callbacks = list(callbacks or [])
         self.save_tracker = MetricTracker(self.config.save_only_on_improvement_tracker)
         self.early_tracker = MetricTracker(self.config.early_stopping_tracker)
         self._degraded_evals = 0
@@ -154,9 +156,19 @@ class Trainer:
         last_metrics: Dict[str, float] = {}
         t_window = time.perf_counter()
         rays_done = 0
+        from neurad_tpu.engine.callbacks import TrainingCallbackLocation, run_callbacks
+
         for i in range(n):
+            if self.callbacks:
+                self.state = run_callbacks(
+                    self.callbacks, self.state, i, TrainingCallbackLocation.BEFORE_TRAIN_ITERATION
+                )
             bundle, batch = next(self.batch_iter)
             self.state, metrics = self.train_step(self.state, bundle, batch)
+            if self.callbacks:
+                self.state = run_callbacks(
+                    self.callbacks, self.state, i, TrainingCallbackLocation.AFTER_TRAIN_ITERATION
+                )
             rays_done += bundle.origins.shape[0] if hasattr(bundle, "origins") else bundle.shape[0]
             step = int(i)
 
@@ -192,6 +204,8 @@ class Trainer:
                 # degraded evals skip saving (`trainer.py:349-356`)
                 if not self.save_tracker.did_degrade(fallback=False):
                     self.save_checkpoint()
+        if self.callbacks:
+            self.state = run_callbacks(self.callbacks, self.state, n, TrainingCallbackLocation.AFTER_TRAIN)
         if self.checkpointer is not None:
             self.save_checkpoint()
         return last_metrics

@@ -70,14 +70,41 @@ def volumetric_sampler(
     num_samples: int = 256,
     key: Optional[jax.Array] = None,
     threshold: float = 0.01,
+    mode: str = "march",
+    march_candidates: int = 1024,
 ) -> Tuple[RaySamples, jnp.ndarray]:
-    """Fixed-count occupancy-aware sampling (VolumetricSampler counterpart).
+    """Fixed-count occupancy-aware sampling (VolumetricSampler counterpart,
+    `ray_samplers.py:401-566`). Returns (samples, occupied-mask [R, S]).
 
-    Two passes: coarse uniform probe of the grid along each ray, then an
-    inverse-CDF resample concentrated on occupied bins. Returns (samples,
-    occupied-mask [R, S] for zeroing shading of empty samples).
+    mode="march": TPU-native ray marching — probe `march_candidates` uniform
+    steps per ray, KEEP the first `num_samples` bins whose cell is occupied
+    (depth order, fixed capacity; empty space is actually skipped like
+    nerfacc's marching, padded with the farthest bins when a ray has fewer
+    occupied cells).
+    mode="resample": inverse-CDF resample weighted onto occupied bins.
     """
     from neurad_tpu.model_components.ray_samplers import UNIFORM, pdf_sampler, spaced_sampler
+
+    if mode == "march":
+        probe = spaced_sampler(bundle, march_candidates, UNIFORM, key=None)
+        pos = probe.frustums.get_positions()
+        occ = occupancy_at(grid, pos, threshold)  # [R, M]
+        m = march_candidates
+        order = jnp.arange(m, dtype=jnp.float32)
+        # occupied bins rank before empty; within each class, nearest first
+        score = jnp.where(occ, 2.0 * m - order, m - order)
+        _, pick = jax.lax.top_k(score, num_samples)  # [R, K]
+        pick = jnp.sort(pick, axis=-1)  # restore depth order
+
+        g = lambda arr: jnp.take_along_axis(arr, pick[..., None], axis=-2)
+        samples = bundle.get_ray_samples(
+            bin_starts=g(probe.frustums.starts),
+            bin_ends=g(probe.frustums.ends),
+            spacing_starts=g(probe.spacing_starts) if probe.spacing_starts is not None else None,
+            spacing_ends=g(probe.spacing_ends) if probe.spacing_ends is not None else None,
+        )
+        occ_sel = jnp.take_along_axis(occ, pick, axis=-1)
+        return samples, occ_sel
 
     probe = spaced_sampler(bundle, num_samples, UNIFORM, key=None)
     pos = probe.frustums.get_positions()

@@ -189,3 +189,44 @@ def test_checkpoint_roundtrip_with_rng_and_host_state(tmp_path):
     assert int(tr2.state.step) == 3
     np.testing.assert_array_equal(np.asarray(tr2.state.rng), np.asarray(jax.random.PRNGKey(42)))
     assert dm2.rng_state() == saved_host
+
+
+def test_training_callbacks_locations():
+    """BEFORE/AFTER iteration + AFTER_TRAIN hooks fire with the right cadence
+    (`engine/callbacks.py:35-76`)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from neurad_tpu.engine.callbacks import TrainingCallback, TrainingCallbackLocation
+    from neurad_tpu.engine.trainer import Trainer, TrainerConfig, TrainState, make_train_step
+
+    calls = []
+    cb_before = TrainingCallback(
+        (TrainingCallbackLocation.BEFORE_TRAIN_ITERATION,),
+        lambda s, i: calls.append(("b", i)),
+        update_every_num_iters=2,
+    )
+    cb_after = TrainingCallback(
+        (TrainingCallbackLocation.AFTER_TRAIN_ITERATION,),
+        lambda s, i: calls.append(("a", i)),
+        iters=(1, 3),
+    )
+    cb_end = TrainingCallback(
+        (TrainingCallbackLocation.AFTER_TRAIN,), lambda s, i: calls.append(("e", i))
+    )
+
+    tx = optax.sgd(0.1)
+    params = {"w": jnp.ones(2)}
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), rng=jax.random.PRNGKey(0))
+    step = make_train_step(lambda p, b, batch, rng: (jnp.sum(p["w"] ** 2), {}), tx, donate=False)
+    cfg = TrainerConfig(max_num_iterations=4, steps_per_log=100, steps_per_save=10**9)
+    tr = Trainer(step, state, itertools.repeat((jnp.zeros((4, 3)), {})), cfg,
+                 callbacks=[cb_before, cb_after, cb_end])
+    tr.train()
+    assert ("b", 0) in calls and ("b", 2) in calls and ("b", 1) not in calls
+    assert ("a", 1) in calls and ("a", 3) in calls and ("a", 0) not in calls
+    assert ("e", 4) in calls

@@ -45,3 +45,34 @@ def test_sampler_concentrates_on_occupied():
     # samples should concentrate near the occupied ball (uniform would give ~34%)
     assert frac_in_ball > 0.6
     assert np.asarray(occ).any()
+
+
+def test_march_mode_skips_empty_space():
+    """mode='march' keeps only occupied bins (depth order), skipping empty
+    space like nerfacc's marching (`ray_samplers.py:401-566`)."""
+    from neurad_tpu.core.structs import RayBundle
+
+    grid = init_occupancy_grid(AABB, resolution=32)
+    grid = update_occupancy_grid(grid, _density_fn, jax.random.PRNGKey(0))
+    n = 4
+    bundle = RayBundle(
+        origins=jnp.broadcast_to(jnp.array([-12.0, 0.0, 0.0]), (n, 3)),
+        directions=jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (n, 3)),
+        pixel_area=jnp.full((n, 1), 1e-6),
+        camera_indices=jnp.zeros((n, 1), jnp.int32),
+        nears=jnp.full((n, 1), 0.1),
+        fars=jnp.full((n, 1), 30.0),
+        metadata={"directions_norm": jnp.ones((n, 1))},
+    )
+    samples, occ = volumetric_sampler(bundle, grid, num_samples=16, mode="march", march_candidates=256)
+    pos = np.asarray(samples.frustums.get_positions())
+    occupied_frac = float(np.asarray(occ).mean())
+    # the density blob is around x~5 (world); samples should cluster there
+    assert occupied_frac > 0.9, f"march kept empty bins: {occupied_frac}"
+    mids = pos[0, :, 0]
+    assert (np.abs(pos[0, :, 1:]) < 1e-3).all()
+    # all selected samples inside the occupied region probed by occupancy_at
+    inside = np.asarray(occupancy_at(grid, jnp.asarray(pos[0])))
+    assert inside.mean() > 0.9
+    # depth-ordered
+    assert (np.diff(mids) >= -1e-5).all()
