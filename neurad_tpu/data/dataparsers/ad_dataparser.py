@@ -406,14 +406,12 @@ class ADDataParser:
         elevs = ELEVATION_MAPPINGS[self.lidar_name_for_missing_points]
         azim_res = AZIMUTH_RESOLUTION[self.lidar_name_for_missing_points]
         n_azim = int(round(360.0 / azim_res))
+        from neurad_tpu.native import bin_points
+
         out = []
         for pc in point_clouds:
-            channels = assign_channels(pc[:, :3], elevs)
-            azim = np.rad2deg(np.arctan2(pc[:, 1], pc[:, 0]))  # [-180, 180)
-            azim_bin = np.clip(((azim + 180.0) / azim_res).astype(np.int64), 0, n_azim - 1)
-            # occupancy per (channel, azimuth bin)
-            occupied = np.zeros((len(elevs), n_azim), dtype=bool)
-            occupied[channels, azim_bin] = True
+            # native C++ binning (numpy fallback inside)
+            occupied, _, _ = bin_points(pc[:, :3].astype(np.float32), elevs, azim_res, n_azim)
             miss_ch, miss_az = np.nonzero(~occupied)
             if len(miss_ch) == 0:
                 out.append(pc)
