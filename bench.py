@@ -49,7 +49,11 @@ def main():
         model_overrides=dict(
             sampling=SamplingSettings(),  # (128, 64) proposals, 32 nerf samples
         ),
-        train_ray_chunk=4096,  # measured best on v5e (8192 was ~11% slower)
+        # chunk=0 (no lax.map chunking): per-level hash gathers shrank the
+        # intermediates enough that the full 28k-ray batch fits one v5e, and
+        # dropping the scan+remat machinery measured 1.5x faster than chunk 4096
+        # (2469 ms vs 3730 ms / step)
+        train_ray_chunk=0,
     )
     pipe = ADPipeline(outputs, config)
     state, tx = pipe.init_state()

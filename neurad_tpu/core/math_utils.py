@@ -158,3 +158,15 @@ def normalized_depth_scale_and_shift(
     scale = jnp.where(valid, (a_11 * b_0 - a_01 * b_1) / jnp.where(valid, det, 1.0), 0.0)
     shift = jnp.where(valid, (-a_01 * b_0 + a_00 * b_1) / jnp.where(valid, det, 1.0), 0.0)
     return scale, shift
+
+
+def searchsorted_dense(a: jnp.ndarray, v: jnp.ndarray, side: str = "left") -> jnp.ndarray:
+    """Batched searchsorted as one dense comparison reduction.
+
+    a [..., N] sorted, v [..., M] -> [..., M] int32. On TPU this beats the
+    binary-search lowering (log2(N) sequential gather rounds) for the short
+    per-ray histograms used in sampling/interlevel losses (N <= a few hundred).
+    """
+    if side == "right":
+        return jnp.sum(a[..., None, :] <= v[..., :, None], axis=-1).astype(jnp.int32)
+    return jnp.sum(a[..., None, :] < v[..., :, None], axis=-1).astype(jnp.int32)

@@ -30,12 +30,10 @@ def ray_samples_to_sdist(spacing_starts: jnp.ndarray, spacing_ends: jnp.ndarray)
 def _outer(t0_lo, t0_hi, t1_lo, t1_hi, y1):
     """Summed y1 over intervals of t1 covering each t0 interval (`losses.py:60-84`)."""
     cy1 = jnp.concatenate([jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
-    idx_lo = jnp.clip(
-        jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(t1_lo, t0_lo) - 1, 0, y1.shape[-1] - 1
-    )
-    idx_hi = jnp.clip(
-        jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(t1_hi, t0_hi), 0, y1.shape[-1]
-    )
+    from neurad_tpu.core.math_utils import searchsorted_dense
+
+    idx_lo = jnp.clip(searchsorted_dense(t1_lo, t0_lo, side="right") - 1, 0, y1.shape[-1] - 1)
+    idx_hi = jnp.clip(searchsorted_dense(t1_hi, t0_hi, side="left"), 0, y1.shape[-1])
     cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
     cy1_hi = jnp.take_along_axis(cy1, idx_hi, axis=-1)
     return cy1_hi - cy1_lo
@@ -98,7 +96,9 @@ def _blur_stepfun(x: jnp.ndarray, y: jnp.ndarray, r: float) -> Tuple[jnp.ndarray
 
 def _sorted_interp_quad(x, xp, fpdf, fcdf):
     """Piecewise-quadratic CDF interpolation (`losses.py:641-656`)."""
-    right_idx = jax.vmap(jnp.searchsorted)(xp, x)
+    from neurad_tpu.core.math_utils import searchsorted_dense
+
+    right_idx = searchsorted_dense(xp, x, side="left")
     left_idx = jnp.clip(right_idx - 1, 0, None)
     right_idx = jnp.clip(right_idx, None, xp.shape[-1] - 1)
 

@@ -122,8 +122,11 @@ def pdf_sampler(
         [ray_samples.spacing_starts[..., 0], ray_samples.spacing_ends[..., -1:, 0]], axis=-1
     )  # [R, S+1]
 
-    # torch.searchsorted(..., side="right") returns first idx where cdf[idx] > u.
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # torch.searchsorted(..., side="right") = #elements cdf[i] <= u, computed
+    # as one dense comparison reduction (see core/math_utils.searchsorted_dense)
+    from neurad_tpu.core.math_utils import searchsorted_dense
+
+    inds = searchsorted_dense(cdf, u, side="right")
     below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
     above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
     cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
