@@ -27,18 +27,26 @@ class MLP(nn.Module):
     skip_connections: Tuple[int, ...] = ()
     activation: Callable = nn.relu
     out_activation: Optional[Callable] = None
+    # bf16 compute with fp32 params/outputs: the reference trains its whole
+    # forward under torch.autocast fp16 (`engine/trainer.py:551`); tcnn's
+    # FullyFusedMLP is natively half precision
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dt = self.compute_dtype
+        if dt is not None:
+            x = x.astype(dt)
         inp = x
         skips = set(self.skip_connections)
         h = x
         for i in range(self.num_layers - 1):
             if i in skips and i > 0:
                 h = jnp.concatenate([h, inp], axis=-1)
-            h = nn.Dense(self.layer_width, name=f"hidden_{i}")(h)
+            h = nn.Dense(self.layer_width, name=f"hidden_{i}", dtype=dt)(h)
             h = self.activation(h)
-        out = nn.Dense(self.out_dim, name="output")(h)
+        out = nn.Dense(self.out_dim, name="output", dtype=dt)(h)
+        out = out.astype(jnp.float32)
         if self.out_activation is not None:
             out = self.out_activation(out)
         return out

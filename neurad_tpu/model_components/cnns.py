@@ -25,7 +25,10 @@ def _make_norm(norm: str, train: bool):
 
 
 class BasicBlock(nn.Module):
-    """Basic residual block (`cnns.py:35-46`): conv-norm-relu-conv-norm + skip."""
+    """Basic residual block (`cnns.py:35-46`): conv-norm-relu-conv-norm + skip.
+
+    Convs compute in bf16 (fp32 params) — the reference's whole forward runs
+    under torch.autocast fp16 (`engine/trainer.py:551`); norms stay fp32."""
 
     dim: int
     kernel_size: int = 7
@@ -33,15 +36,17 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dt = jnp.bfloat16
+        x = x.astype(dt)
         in_dim = x.shape[-1]
-        res = x if in_dim == self.dim else nn.Conv(self.dim, (1, 1))(x)
+        res = x if in_dim == self.dim else nn.Conv(self.dim, (1, 1), dtype=dt)(x)
         k = (self.kernel_size, self.kernel_size)
-        h = nn.Conv(self.dim, k, padding="SAME")(x)
-        h = _make_norm(self.norm, train)(h)
+        h = nn.Conv(self.dim, k, padding="SAME", dtype=dt)(x)
+        h = _make_norm(self.norm, train)(h.astype(jnp.float32)).astype(dt)
         h = nn.relu(h)
-        h = nn.Conv(self.dim, k, padding="SAME")(h)
-        h = _make_norm(self.norm, train)(h)
-        return nn.relu(res + h)
+        h = nn.Conv(self.dim, k, padding="SAME", dtype=dt)(h)
+        h = _make_norm(self.norm, train)(h.astype(jnp.float32)).astype(dt)
+        return nn.relu(res + h).astype(jnp.float32)
 
 
 class BottleneckBlock(nn.Module):
