@@ -155,16 +155,23 @@ def _composite(
     valid: jnp.ndarray,  # [T_chunk, K]
     alpha_threshold: float = 1.0 / 255.0,
 ):
-    """Front-to-back alpha compositing of per-tile gaussian lists."""
+    """Front-to-back alpha compositing of per-tile gaussian lists.
+
+    The [T, P, K] tensors dominate the rasterizer's traffic; the gaussian
+    quadratic-form evaluation runs in bf16 (pixel offsets are computed in fp32
+    FIRST, so no cancellation; bf16's ~0.4% relative error on sigma only
+    matters where alpha is already near the 1/255 cutoff) while the alpha
+    clamp, transmittance cumprod, and reductions stay fp32."""
+    bf = jnp.bfloat16
     means = g_means[:, None, :, :]  # [T, 1, K, 2]
     if pix_times is not None:
         means = means + g_vel2d[:, None, :, :] * pix_times[..., None, None]
-    d = pix_coords[:, :, None, :] - means  # [T, P, K, 2]
-    a, b, cc = g_conics[..., 0], g_conics[..., 1], g_conics[..., 2]
+    d = (pix_coords[:, :, None, :] - means).astype(bf)  # [T, P, K, 2]
+    a, b, cc = (g_conics[..., 0].astype(bf), g_conics[..., 1].astype(bf), g_conics[..., 2].astype(bf))
     sigma = 0.5 * (
         a[:, None, :] * d[..., 0] ** 2 + cc[:, None, :] * d[..., 1] ** 2
     ) + b[:, None, :] * d[..., 0] * d[..., 1]
-    alpha = g_opac[:, None, :] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0))  # [T, P, K]
+    alpha = g_opac[:, None, :] * jnp.exp(-jnp.clip(sigma.astype(jnp.float32), 0.0, 50.0))  # [T, P, K]
     alpha = jnp.clip(alpha, 0.0, 0.999)
     alpha = jnp.where(valid[:, None, :] & (alpha >= alpha_threshold), alpha, 0.0)
 
@@ -175,7 +182,9 @@ def _composite(
     )
     w = alpha * trans  # [T, P, K]
 
-    feat_out = jnp.einsum("tpk,tkc->tpc", w, g_feat)
+    feat_out = jnp.einsum(
+        "tpk,tkc->tpc", w.astype(bf), g_feat.astype(bf), preferred_element_type=jnp.float32
+    )
     depth = g_depth[:, None, :]
     if pix_times is not None:
         depth = depth + g_depth_vel[:, None, :] * pix_times[..., None]
