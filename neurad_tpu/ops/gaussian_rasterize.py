@@ -154,15 +154,17 @@ def _composite(
     g_depth_vel: jnp.ndarray,  # [T_chunk, K]
     valid: jnp.ndarray,  # [T_chunk, K]
     alpha_threshold: float = 1.0 / 255.0,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
 ):
     """Front-to-back alpha compositing of per-tile gaussian lists.
 
     The [T, P, K] tensors dominate the rasterizer's traffic; the gaussian
-    quadratic-form evaluation runs in bf16 (pixel offsets are computed in fp32
-    FIRST, so no cancellation; bf16's ~0.4% relative error on sigma only
-    matters where alpha is already near the 1/255 cutoff) while the alpha
-    clamp, transmittance cumprod, and reductions stay fp32."""
-    bf = jnp.bfloat16
+    quadratic-form evaluation runs in `compute_dtype` (default bf16: pixel
+    offsets are computed in fp32 FIRST, so no cancellation; bf16's ~0.4%
+    relative error on sigma only matters where alpha is already near the 1/255
+    cutoff) while the alpha clamp, transmittance cumprod, and reductions stay
+    fp32."""
+    bf = compute_dtype
     means = g_means[:, None, :, :]  # [T, 1, K, 2]
     if pix_times is not None:
         means = means + g_vel2d[:, None, :, :] * pix_times[..., None, None]
@@ -207,6 +209,7 @@ def rasterize_camera(
     tile_chunk: int = 64,
     backend: str = "xla",  # 'xla' | 'pallas' (VMEM-resident per-tile composite)
     return_binning: bool = False,
+    compute_dtype: jnp.dtype = jnp.bfloat16,  # xla backend's gaussian-eval dtype
 ) -> Tuple[jnp.ndarray, ...]:
     """Rasterize projected gaussians to (features [H,W,C], depth [H,W,1],
     alpha [H,W,1]). gsplat-`rasterization` equivalent (render_mode RGB+ED)."""
@@ -274,6 +277,7 @@ def rasterize_camera(
                 projected.depths[tg],
                 projected.depth_vel[tg],
                 tv,
+                compute_dtype=compute_dtype,
             )[:3]
 
         # pad tiles to a multiple of tile_chunk and map over chunks

@@ -130,6 +130,161 @@ def _run_fwd(pix, times, means, vel, conics, opac, feats, depth, dvel, valid):
     return feat_p[..., :c], jnp.swapaxes(depth_p, 1, 2), jnp.swapaxes(alpha_p, 1, 2)
 
 
+
+
+def _composite_bwd_kernel(
+    pix_ref, times_ref, gattr_ref, feats_ref, gf_ref, gd_ref, ga_ref,
+    dgattr_ref, dfeats_ref,
+):
+    """Fused backward: 3DGS compositing gradients, one tile entirely in VMEM.
+
+    With w_k = a_k T_k and per-pixel payload grad
+      g_k = <gF, f_k> + gD * d_k + gA,
+    the alpha gradient is
+      dL/da_k = T_k g_k - (G - P_k) / (1 - a_k)
+    where P_k is the INCLUSIVE prefix of w_j g_j along the depth order and G
+    its total — so a single forward-order K-loop (recomputing transmittance)
+    yields every alpha gradient without the CUDA kernels' reverse sweep. The
+    payload/feature grads are two MXU matmuls.
+    """
+    pix_x = pix_ref[0, 0, :]  # [P]
+    pix_y = pix_ref[0, 1, :]
+    t = times_ref[0, 0, :]
+    ga = gattr_ref[0]  # [11, K]
+    mean_x, mean_y = ga[0][:, None], ga[1][:, None]
+    vel_x, vel_y = ga[2][:, None], ga[3][:, None]
+    con_a, con_b, con_c = ga[4][:, None], ga[5][:, None], ga[6][:, None]
+    opac, depth, dvel, valid = ga[7][:, None], ga[8][:, None], ga[9][:, None], ga[10][:, None]
+
+    dx = pix_x[None, :] - (mean_x + vel_x * t[None, :])  # [K, P]
+    dy = pix_y[None, :] - (mean_y + vel_y * t[None, :])
+    sigma_raw = 0.5 * (con_a * dx * dx + con_c * dy * dy) + con_b * dx * dy
+    sigma = jnp.clip(sigma_raw, 0.0, 50.0)
+    alpha_pre = opac * jnp.exp(-sigma)
+    gate = (valid > 0) & (alpha_pre >= 1.0 / 255.0)
+    alpha = jnp.where(gate, jnp.clip(alpha_pre, 0.0, 0.999), 0.0)  # [K, P]
+    # clip(sigma) and clip(alpha, ..., 0.999) are flat outside their ranges
+    dgate = (gate & (alpha_pre < 0.999) & (sigma_raw > 0.0) & (sigma_raw < 50.0)).astype(jnp.float32)
+
+    g_depth_kp = depth + dvel * t[None, :]  # [K, P]
+    gd = gd_ref[0, 0, :]  # [P]
+    ga_cot = ga_ref[0, 0, :]  # [P]
+
+    k_total, p = alpha.shape
+
+    def scoped(alpha_sc, g_sc, w_sc, tg_sc, pref_sc):
+        alpha_sc[:] = alpha
+        # payload grad g_k(p): [K,128] x [P,128]^T on the MXU + payload terms
+        g_sc[:] = (
+            jax.lax.dot_general(
+                feats_ref[0], gf_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + g_depth_kp * gd[None, :]
+            + ga_cot[None, :]
+        )
+
+        def body(k, carry):
+            trans, prefix = carry  # [P], [P]
+            a_k = alpha_sc[pl.ds(k, 1), :][0]
+            g_k = g_sc[pl.ds(k, 1), :][0]
+            w_k = a_k * trans
+            prefix = prefix + w_k * g_k
+            w_sc[pl.ds(k, 1), :] = w_k[None, :]
+            tg_sc[pl.ds(k, 1), :] = (trans * g_k)[None, :]
+            pref_sc[pl.ds(k, 1), :] = prefix[None, :]
+            trans = trans * (1.0 - a_k)
+            return trans, prefix
+
+        _, total = jax.lax.fori_loop(
+            0, k_total, body, (jnp.ones((p,), jnp.float32), jnp.zeros((p,), jnp.float32))
+        )
+
+        w = w_sc[:]  # [K, P]
+        suffix = total[None, :] - pref_sc[:]  # exclusive suffix of w_j g_j
+        d_alpha = (tg_sc[:] - suffix / (1.0 - alpha)) * dgate  # [K, P]
+
+        d_sigma = -alpha * d_alpha
+        exp_neg = jnp.exp(-sigma)
+        ddx = d_sigma * (con_a * dx + con_b * dy)
+        ddy = d_sigma * (con_c * dy + con_b * dx)
+        w_gd = w * gd[None, :]
+
+        red = lambda x: jnp.sum(x, axis=-1, keepdims=True)  # [K, 1]
+        dgattr_ref[0, :, 0:1] = -red(ddx)                    # d mean_x
+        dgattr_ref[0, :, 1:2] = -red(ddy)                    # d mean_y
+        dgattr_ref[0, :, 2:3] = -red(ddx * t[None, :])       # d vel_x
+        dgattr_ref[0, :, 3:4] = -red(ddy * t[None, :])       # d vel_y
+        dgattr_ref[0, :, 4:5] = red(0.5 * dx * dx * d_sigma)  # d con_a
+        dgattr_ref[0, :, 5:6] = red(dx * dy * d_sigma)        # d con_b
+        dgattr_ref[0, :, 6:7] = red(0.5 * dy * dy * d_sigma)  # d con_c
+        dgattr_ref[0, :, 7:8] = red(d_alpha * exp_neg)        # d opac
+        dgattr_ref[0, :, 8:9] = red(w_gd)                     # d depth
+        dgattr_ref[0, :, 9:10] = red(w_gd * t[None, :])       # d depth_vel
+
+        dfeats_ref[0] = jax.lax.dot_general(
+            w, gf_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [K, P] @ [P, 128]
+
+    pl.run_scoped(
+        scoped,
+        alpha_sc=pltpu.VMEM((k_total, p), jnp.float32),
+        g_sc=pltpu.VMEM((k_total, p), jnp.float32),
+        w_sc=pltpu.VMEM((k_total, p), jnp.float32),
+        tg_sc=pltpu.VMEM((k_total, p), jnp.float32),
+        pref_sc=pltpu.VMEM((k_total, p), jnp.float32),
+    )
+
+
+def _run_bwd(pix, times, means, vel, conics, opac, feats, depth, dvel, valid, g_feat, g_depth, g_alpha):
+    """[T,...] tiled inputs + cotangents -> grads in the callers' layouts."""
+    t_total, p = pix.shape[0], pix.shape[1]
+    k = means.shape[1]
+    c = feats.shape[-1]
+
+    pix_kp = jnp.swapaxes(pix, 1, 2)
+    times_kp = jnp.swapaxes(times, 1, 2)
+    gattr = jnp.stack(
+        [
+            means[..., 0], means[..., 1], vel[..., 0], vel[..., 1],
+            conics[..., 0], conics[..., 1], conics[..., 2],
+            opac[..., 0], depth[..., 0], dvel[..., 0], valid[..., 0],
+        ],
+        axis=1,
+    )
+    feats_pad = jnp.pad(feats, ((0, 0), (0, 0), (0, _C_PAD - c)))
+    gf_pad = jnp.pad(g_feat, ((0, 0), (0, 0), (0, _C_PAD - c)))  # [T, P, 128]
+    gd_kp = jnp.swapaxes(g_depth, 1, 2)  # [T, 1, P]
+    ga_kp = jnp.swapaxes(g_alpha, 1, 2)
+
+    spec = lambda last: pl.BlockSpec((1,) + last, lambda i: (i,) + (0,) * len(last), memory_space=pltpu.VMEM)
+    dgattr, dfeats = pl.pallas_call(
+        _composite_bwd_kernel,
+        grid=(t_total,),
+        in_specs=[
+            spec((2, p)), spec((1, p)), spec((11, k)), spec((k, _C_PAD)),
+            spec((p, _C_PAD)), spec((1, p)), spec((1, p)),
+        ],
+        out_specs=[spec((k, _C_PAD)), spec((k, _C_PAD))],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, k, _C_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, k, _C_PAD), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(pix_kp, times_kp, gattr, feats_pad, gf_pad, gd_kp, ga_kp)
+
+    d_means = dgattr[..., 0:2]
+    d_vel = dgattr[..., 2:4]
+    d_con = dgattr[..., 4:7]
+    d_opac = dgattr[..., 7:8]
+    d_depth = dgattr[..., 8:9]
+    d_dvel = dgattr[..., 9:10]
+    return d_means, d_vel, d_con, d_opac, dfeats[..., :c], d_depth, d_dvel
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def pallas_tile_composite(pix, times, means, vel, conics, opac, feats, depth, dvel, valid):
     """Differentiable per-tile composite; see `_composite` for XLA reference."""
@@ -142,45 +297,16 @@ def _fwd(pix, times, means, vel, conics, opac, feats, depth, dvel, valid):
 
 
 def _bwd(res, cotangents):
-    """Recompute-based backward, mirroring the XLA math via jax.vjp per tile.
-
-    The recompute happens tile-by-tile under lax.map so the backward's live
-    memory also stays at one tile's working set (the CUDA rasterizers' strategy,
-    traded against a hand-written backward kernel; a Pallas backward kernel can
-    replace this without touching callers).
-    """
+    """Fused Pallas backward kernel (see `_composite_bwd_kernel`); the round-1
+    per-tile XLA recompute is gone — forward recompute AND gradient math run
+    in one VMEM-resident kernel per tile."""
     pix, times, means, vel, conics, opac, feats, depth, dvel, valid = res
     g_feat, g_depth, g_alpha = cotangents
-
-    def one_tile(args):
-        (pix_t, times_t, means_t, vel_t, con_t, op_t, f_t, d_t, dv_t, v_t, gf, gd, ga) = args
-
-        def f(means_t, vel_t, con_t, op_t, f_t, d_t, dv_t):
-            # identical math to the forward kernel, in plain jnp
-            m = means_t[None, :, :] + vel_t[None, :, :] * times_t[:, :, None]
-            dd = pix_t[:, None, :] - m
-            a, b, c = con_t[:, 0][None], con_t[:, 1][None], con_t[:, 2][None]
-            sigma = 0.5 * (a * dd[..., 0] ** 2 + c * dd[..., 1] ** 2) + b * dd[..., 0] * dd[..., 1]
-            alpha = jnp.clip(op_t[:, 0][None] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0)), 0.0, 0.999)
-            alpha = jnp.where((v_t[:, 0][None] > 0) & (alpha >= 1.0 / 255.0), alpha, 0.0)
-            om = 1.0 - alpha
-            trans = jnp.concatenate([jnp.ones_like(om[:, :1]), jnp.cumprod(om, axis=-1)[:, :-1]], axis=-1)
-            w = alpha * trans
-            feat = w @ f_t
-            gdep = d_t[:, 0][None] + dv_t[:, 0][None] * times_t
-            dep = jnp.sum(w * gdep, axis=-1, keepdims=True)
-            acc = jnp.sum(w, axis=-1, keepdims=True)
-            return feat, dep, acc
-
-        _, vjp = jax.vjp(f, means_t, vel_t, con_t, op_t, f_t, d_t, dv_t)
-        return vjp((gf, gd, ga))
-
-    grads = jax.lax.map(
-        one_tile, (pix, times, means, vel, conics, opac, feats, depth, dvel, valid, g_feat, g_depth, g_alpha)
+    d_means, d_vel, d_con, d_opac, d_feats, d_depth, d_dvel = _run_bwd(
+        pix, times, means, vel, conics, opac, feats, depth, dvel, valid, g_feat, g_depth, g_alpha
     )
-    d_means, d_vel, d_con, d_op, d_feats, d_depth, d_dvel = grads
     zero = lambda x: jnp.zeros_like(x)
-    return (zero(pix), zero(times), d_means, d_vel, d_con, d_op, d_feats, d_depth, d_dvel, zero(valid))
+    return (zero(pix), zero(times), d_means, d_vel, d_con, d_opac, d_feats, d_depth, d_dvel, zero(valid))
 
 
 pallas_tile_composite.defvjp(_fwd, _bwd)
