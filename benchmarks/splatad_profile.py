@@ -111,7 +111,7 @@ def main():
             return jax.lax.fori_loop(0, K_CHAIN, body, jnp.float32(0))
         return fb
 
-    for backend in ("xla", "pallas"):
+    for backend in ("xla", "pallas", "hybrid"):
         try:
             report(f"forward ({backend})", timeit(make_fwd(backend), means, scales))
         except Exception as e:

@@ -117,9 +117,9 @@ def bin_gaussians(
     flat_tiles = tile_id.reshape(-1)  # [N*C], depth-ordered within equal tiles
     flat_gauss = jnp.broadcast_to(order[:, None], (n, c)).reshape(-1)
 
-    sort_idx = jnp.argsort(flat_tiles, stable=True)
-    sorted_tiles = flat_tiles[sort_idx]
-    sorted_gauss = flat_gauss[sort_idx]
+    # one stable sort carrying the payload: saves two N*C-row gathers vs
+    # argsort + indexing (the binning sort is the rasterizer's hottest op)
+    sorted_tiles, sorted_gauss = jax.lax.sort_key_val(flat_tiles, flat_gauss, is_stable=True)
 
     # per-tile segment [start, end)
     tile_range = jnp.arange(t_total, dtype=flat_tiles.dtype)
@@ -207,7 +207,7 @@ def rasterize_camera(
     rolling_shutter_time: float = 0.0,
     rs_direction: str = "vertical",
     tile_chunk: int = 64,
-    backend: str = "xla",  # 'xla' | 'pallas' (VMEM-resident per-tile composite)
+    backend: str = "xla",  # 'xla' | 'pallas' (VMEM composite) | 'hybrid' (xla fwd + pallas bwd)
     return_binning: bool = False,
     compute_dtype: jnp.dtype = jnp.bfloat16,  # xla backend's gaussian-eval dtype
 ) -> Tuple[jnp.ndarray, ...]:
@@ -246,11 +246,18 @@ def rasterize_camera(
     opac = opacities * projected.compensations
     cdim = features.shape[-1]
 
-    if backend == "pallas":
-        from neurad_tpu.ops.pallas_composite import pallas_tile_composite
+    if backend in ("pallas", "hybrid"):
+        from neurad_tpu.ops.pallas_composite import hybrid_tile_composite, pallas_tile_composite
 
+        import functools as _ft
+
+        fn = (
+            pallas_tile_composite
+            if backend == "pallas"
+            else _ft.partial(hybrid_tile_composite, compute_dtype)
+        )
         tg = binning.tile_gauss  # [T, K]
-        feat, depth, alpha = pallas_tile_composite(
+        feat, depth, alpha = fn(
             pix,
             pix_times[..., None],
             projected.means2d[tg],

@@ -310,3 +310,48 @@ def _bwd(res, cotangents):
 
 
 pallas_tile_composite.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid backend: XLA forward (vectorized cumprod — measured 3x the Pallas
+# serial K-loop on v5e) + the fused Pallas backward kernel (measured ~2x XLA's
+# autodiff backward). Best of both measured paths.
+# ---------------------------------------------------------------------------
+
+
+def _xla_forward_on_tiles(compute_dtype, pix, times, means, vel, conics, opac, feats, depth, dvel, valid):
+    from neurad_tpu.ops.gaussian_rasterize import _composite
+
+    feat, dep, acc, _w = _composite(
+        pix,
+        times[..., 0],
+        means,
+        vel,
+        conics,
+        opac[..., 0],
+        feats,
+        depth[..., 0],
+        dvel[..., 0],
+        valid[..., 0] > 0,
+        compute_dtype=compute_dtype,
+    )
+    return feat, dep, acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def hybrid_tile_composite(compute_dtype, pix, times, means, vel, conics, opac, feats, depth, dvel, valid):
+    """XLA forward + fused Pallas backward; same interface as
+    `pallas_tile_composite` plus a leading static compute dtype."""
+    return _xla_forward_on_tiles(compute_dtype, pix, times, means, vel, conics, opac, feats, depth, dvel, valid)
+
+
+def _hybrid_fwd(compute_dtype, pix, times, means, vel, conics, opac, feats, depth, dvel, valid):
+    out = _xla_forward_on_tiles(compute_dtype, pix, times, means, vel, conics, opac, feats, depth, dvel, valid)
+    return out, (pix, times, means, vel, conics, opac, feats, depth, dvel, valid)
+
+
+def _hybrid_bwd(compute_dtype, res, cotangents):
+    return _bwd(res, cotangents)
+
+
+hybrid_tile_composite.defvjp(_hybrid_fwd, _hybrid_bwd)

@@ -85,3 +85,24 @@ def test_pallas_fused_backward_full_inputs():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-3, rtol=3e-3, err_msg=f"grad mismatch: {name}"
         )
+
+
+def test_hybrid_backend_matches_xla():
+    """hybrid = XLA forward + fused Pallas backward: forward identical to XLA,
+    grads match XLA autodiff."""
+    proj, feats, opac = _scene(n=28, seed=5)
+    args = dict(width=48, height=32, tile_size=16, max_per_tile=16)
+
+    img_x, dep_x, al_x = rasterize_camera(proj, feats, opac, **args, backend="xla", **FP32)
+    img_h, dep_h, al_h = rasterize_camera(proj, feats, opac, **args, backend="hybrid", **FP32)
+    np.testing.assert_allclose(np.asarray(img_h), np.asarray(img_x), atol=1e-6)
+
+    def loss(feats, opac, backend):
+        extra = FP32 if backend in ("xla", "hybrid") else {}
+        img, dep, al = rasterize_camera(proj, feats, opac, **args, backend=backend, **extra)
+        return jnp.sum(img**2) + jnp.sum(al)
+
+    gx = jax.grad(loss, argnums=(0, 1))(feats, opac, "xla")
+    gh = jax.grad(loss, argnums=(0, 1))(feats, opac, "hybrid")
+    np.testing.assert_allclose(np.asarray(gh[0]), np.asarray(gx[0]), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gh[1]), np.asarray(gx[1]), atol=5e-4, rtol=1e-3)
