@@ -322,7 +322,10 @@ def rasterize_lidar_points(
     max_tiles_per_gaussian: int = 16,
     compute_alpha_sum_until_points: bool = True,
     depth_eps: float = 0.4,
-    point_chunk: int = 4096,
+    # 0 = no chunking (one fused pass; the [M, K] intermediates are ~30 MB at
+    # 65k points / K=128 — chunked lax.map + remat measured far slower on the
+    # NeuRAD path, same lesson applies here). Set >0 only for M >> 10^5.
+    point_chunk: int = 0,
 ) -> dict:
     """Rasterize gaussians at arbitrary spherical query points (gsplat fork
     `lidar_rasterization`, `splatad.py:1135-1166`).
@@ -368,8 +371,14 @@ def rasterize_lidar_points(
             # +179.4°, not 358.9°
             d_az = jnp.mod(d[..., 0] + 180.0, 360.0) - 180.0
             d = jnp.stack([d_az, d[..., 1]], axis=-1)
-        con = projected.conics[tg]
-        sigma = 0.5 * (con[..., 0] * d[..., 0] ** 2 + con[..., 2] * d[..., 1] ** 2) + con[..., 1] * d[..., 0] * d[..., 1]
+        # bf16 quadratic form (offsets subtracted in fp32 first) — same
+        # precision budget as the camera compositor
+        d = d.astype(jnp.bfloat16)
+        con = projected.conics[tg].astype(jnp.bfloat16)
+        sigma = (
+            0.5 * (con[..., 0] * d[..., 0] ** 2 + con[..., 2] * d[..., 1] ** 2)
+            + con[..., 1] * d[..., 0] * d[..., 1]
+        ).astype(jnp.float32)
         alpha = jnp.clip(opac[tg] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0)), 0.0, 0.999)
         alpha = jnp.where(tv & (alpha >= 1.0 / 255.0), alpha, 0.0)
         one_minus = 1.0 - alpha
@@ -392,15 +401,17 @@ def rasterize_lidar_points(
             alpha_until = jnp.zeros_like(acc)
         return feat, depth, acc, alpha_until, median_depth
 
-    pad = (-m) % point_chunk
-    pts_p = jnp.concatenate([raster_pts, jnp.zeros((pad, raster_pts.shape[1]))]) if pad else raster_pts
-    tile_p = jnp.concatenate([q_tile, jnp.zeros(pad, q_tile.dtype)]) if pad else q_tile
-    n_chunks = pts_p.shape[0] // point_chunk
-
-    feat, depth, acc, alpha_until, med = jax.lax.map(
-        jax.checkpoint(chunk_fn),
-        (pts_p.reshape(n_chunks, point_chunk, -1), tile_p.reshape(n_chunks, point_chunk)),
-    )
+    if point_chunk and m > point_chunk:
+        pad = (-m) % point_chunk
+        pts_p = jnp.concatenate([raster_pts, jnp.zeros((pad, raster_pts.shape[1]))]) if pad else raster_pts
+        tile_p = jnp.concatenate([q_tile, jnp.zeros(pad, q_tile.dtype)]) if pad else q_tile
+        n_chunks = pts_p.shape[0] // point_chunk
+        feat, depth, acc, alpha_until, med = jax.lax.map(
+            jax.checkpoint(chunk_fn),
+            (pts_p.reshape(n_chunks, point_chunk, -1), tile_p.reshape(n_chunks, point_chunk)),
+        )
+    else:
+        feat, depth, acc, alpha_until, med = chunk_fn((raster_pts, q_tile))
     cdim = features.shape[-1]
     return {
         "features": feat.reshape(-1, cdim)[:m],
