@@ -40,12 +40,12 @@ def main():
 
     backend = jax.default_backend()
     # real NeuRAD per-ray architecture ((128,64) proposals + 32 nerf samples,
-    # full-size hash tables); ray batch sized to fill one chip without inflating
-    # the compile. Rays/s is the metric, so per-ray work must match the method.
+    # full-size hash tables); full reference batch (40x32^2 cam rays + 16384
+    # lidar rays, `ad_datamanager.py:38-45`).
     parser = SyntheticDataParserConfig(num_frames=10, image_height=192, image_width=288).setup()
     outputs = parser.get_dataparser_outputs()
     config = ADPipelineConfig(
-        datamanager=ADDataManagerConfig(num_cam_patches=20, patch_size=32, num_lidar_rays=8192),
+        datamanager=ADDataManagerConfig(num_cam_patches=40, patch_size=32, num_lidar_rays=16384),
         model_overrides=dict(
             sampling=SamplingSettings(),  # (128, 64) proposals, 32 nerf samples
         ),

@@ -121,6 +121,36 @@ def main():
         except Exception as e:
             print(f"  forward+backward ({backend}) FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
 
+    # --- lidar rasterization fwd+bwd (65k query points)
+    M = 65536
+    k5 = jax.random.PRNGKey(9)
+    pts = jnp.stack([
+        jax.random.uniform(k5, (M,), minval=-180, maxval=180),
+        jax.random.uniform(k5, (M,), minval=-20, maxval=10),
+        jax.random.uniform(k5, (M,), minval=3, maxval=60),
+        jnp.zeros((M,)),
+    ], axis=-1)
+
+    def lidar_loss(means, scales, i):
+        covars = G.quat_scale_to_covariance(quats, jnp.exp(scales))
+        proj = G.project_gaussians_lidar(means + i * 1e-4, covars, jnp.eye(4))
+        out = GR.rasterize_lidar_points(proj, feats, opac, pts, max_per_tile=128)
+        return jnp.sum(out["features"] ** 2) + jnp.sum(out["alpha_sum_until_points"])
+
+    gl = jax.grad(lidar_loss, argnums=(0, 1))
+
+    @jax.jit
+    def lidar_fb(means, scales):
+        def body(i, s):
+            gm, gs = gl(means, scales, i)
+            return s + jnp.sum(gm) + jnp.sum(gs)
+        return jax.lax.fori_loop(0, K_CHAIN, body, jnp.float32(0))
+
+    try:
+        report("lidar fwd+bwd (65k pts)", timeit(lidar_fb, means, scales))
+    except Exception as e:
+        print(f"  lidar fwd+bwd FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
+
     print("done", flush=True)
 
 
