@@ -160,6 +160,23 @@ def normalized_depth_scale_and_shift(
     return scale, shift
 
 
+def take_along_small(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """`take_along_axis(x, idx, axis=-1)` without a gather — TPU fast path for
+    small trailing dims.
+
+    x [..., B], idx [..., M] int -> [..., M]. XLA lowers per-row take_along_axis
+    to a row-latency-bound dynamic-gather (~15 ns/row on v5e; the CDF-interp
+    lookups alone cost ~190 ms per NeuRAD train step at 3.7M rows). This form —
+    one-hot compare + masked sum — is O(M*B) elementwise work that XLA fuses
+    into the surrounding computation: for B up to a few hundred it is ~100x
+    faster. Exact values (the reduction selects stored elements); the VJP is the
+    transposed masked reduction (also gather/scatter-free).
+    """
+    b = x.shape[-1]
+    eq = idx[..., :, None] == jnp.arange(b, dtype=idx.dtype)
+    return jnp.sum(jnp.where(eq, x[..., None, :], 0), axis=-1)
+
+
 def searchsorted_dense(a: jnp.ndarray, v: jnp.ndarray, side: str = "left") -> jnp.ndarray:
     """Batched searchsorted as one dense comparison reduction.
 

@@ -163,25 +163,32 @@ class NeuRADHashEncoding(nn.Module):
         rot_t = jnp.swapaxes(cand_b2w[..., :3, :3], -1, -2)  # [R, K, 3, 3]
         inv_t = -jnp.einsum("rkij,rkj->rki", rot_t, cand_b2w[..., :3, 3])
 
-        # in-box test for all samples vs all candidates (`neurad_encoding.py:250-259`)
-        pos_in_box = jnp.einsum("rkij,rsj->rski", rot_t, sample_pos) + inv_t[:, None]  # [R, S, K, 3]
+        # in-box test for all samples vs all candidates (`neurad_encoding.py:250-259`).
+        # Positions are computed in EVERY candidate frame ([R,S,K,M,3]) and the
+        # winning candidate selected by a one-hot contraction over K: gathering
+        # per-sample 3x3 matrices instead materializes a [R*S,3,3] tensor whose
+        # (3,3) trailing dims tile catastrophically on TPU (measured ~180 ms/step
+        # in the round-2 xplane trace).
+        pos_km = (
+            jnp.einsum("rkij,rsmj->rskmi", rot_t, positions.mean) + inv_t[:, None, :, None, :]
+        )  # [R, S, K, M, 3]
+        pos_in_box = pos_km.mean(-2)  # [R, S, K, 3] multisample-average
         cand_bounds = bounds[cand_idx]  # [R, K, 3]
         inside = jnp.all(jnp.abs(pos_in_box) < cand_bounds[:, None], axis=-1)  # [R, S, K]
         inside = inside & cand_ok[:, None, :]
 
         hit = jnp.any(inside, axis=-1)  # [R, S]
         first = jnp.argmax(inside, axis=-1)  # [R, S] first candidate hit
-        sample_actor = jnp.take_along_axis(cand_idx, first, axis=-1)  # [R, S]
-        g1 = lambda arr: jnp.take_along_axis(  # gather per-sample candidate k
-            arr, first.reshape(first.shape + (1,) * (arr.ndim - 2)), axis=2
-        ).squeeze(2)
-        rot_sel = g1(jnp.broadcast_to(rot_t[:, None], (rot_t.shape[0], hit.shape[1]) + rot_t.shape[1:]))  # [R,S,3,3]
-        t_sel = g1(jnp.broadcast_to(inv_t[:, None], (inv_t.shape[0], hit.shape[1]) + inv_t.shape[1:]))  # [R,S,3]
+        from neurad_tpu.core.math_utils import take_along_small
+
+        sample_actor = take_along_small(cand_idx, first)  # [R, S] (gather-free, K small)
+        onehot = jax.nn.one_hot(first, k, dtype=pos_km.dtype)  # [R, S, K]
 
         # ---- transform to actor frame (+ random flip, `neurad_encoding.py:203-219`) ----
-        pos_actor = jnp.einsum("rsij,rsmj->rsmi", rot_sel, positions.mean) + t_sel[:, :, None, :]
+        pos_actor = jnp.einsum("rsk,rskmi->rsmi", onehot, pos_km)  # [R, S, M, 3]
         if directions is not None:
-            dirs_actor = jnp.einsum("rsij,rsj->rsi", rot_sel, directions)
+            dirs_k = jnp.einsum("rkij,rsj->rski", rot_t, directions)  # [R, S, K, 3]
+            dirs_actor = jnp.einsum("rsk,rski->rsi", onehot, dirs_k)
             dirs_actor = dirs_actor / (jnp.linalg.norm(dirs_actor, axis=-1, keepdims=True) + EPS)
         else:
             dirs_actor = None

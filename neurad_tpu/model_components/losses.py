@@ -30,12 +30,12 @@ def ray_samples_to_sdist(spacing_starts: jnp.ndarray, spacing_ends: jnp.ndarray)
 def _outer(t0_lo, t0_hi, t1_lo, t1_hi, y1):
     """Summed y1 over intervals of t1 covering each t0 interval (`losses.py:60-84`)."""
     cy1 = jnp.concatenate([jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
-    from neurad_tpu.core.math_utils import searchsorted_dense
+    from neurad_tpu.core.math_utils import searchsorted_dense, take_along_small
 
     idx_lo = jnp.clip(searchsorted_dense(t1_lo, t0_lo, side="right") - 1, 0, y1.shape[-1] - 1)
     idx_hi = jnp.clip(searchsorted_dense(t1_hi, t0_hi, side="left"), 0, y1.shape[-1])
-    cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1, idx_hi, axis=-1)
+    cy1_lo = take_along_small(cy1, idx_lo)
+    cy1_hi = take_along_small(cy1, idx_hi)
     return cy1_hi - cy1_lo
 
 
@@ -81,14 +81,16 @@ def distortion_loss(weights_list: Sequence[jnp.ndarray], sdist_list: Sequence[jn
 
 def _blur_stepfun(x: jnp.ndarray, y: jnp.ndarray, r: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Box-blur a step function (`losses.py:628-638`)."""
+    from neurad_tpu.core.math_utils import take_along_small
+
     xr_cat = jnp.concatenate([x - r, x + r], axis=-1)
     xr_idx = jnp.argsort(xr_cat, axis=-1)
-    xr = jnp.take_along_axis(xr_cat, xr_idx, axis=-1)
+    xr = take_along_small(xr_cat, xr_idx)
     y1 = (
         jnp.concatenate([y, jnp.zeros_like(y[..., :1])], axis=-1)
         - jnp.concatenate([jnp.zeros_like(y[..., :1]), y], axis=-1)
     ) / (2.0 * r)
-    y2 = jnp.take_along_axis(jnp.concatenate([y1, -y1], axis=-1), xr_idx[..., :-1], axis=-1)
+    y2 = take_along_small(jnp.concatenate([y1, -y1], axis=-1), xr_idx[..., :-1])
     yr = jnp.clip(jnp.cumsum((xr[..., 1:] - xr[..., :-1]) * jnp.cumsum(y2, axis=-1), axis=-1), 0.0, None)
     yr = jnp.concatenate([jnp.zeros_like(yr[..., :1]), yr], axis=-1)
     return xr, yr
@@ -96,17 +98,17 @@ def _blur_stepfun(x: jnp.ndarray, y: jnp.ndarray, r: float) -> Tuple[jnp.ndarray
 
 def _sorted_interp_quad(x, xp, fpdf, fcdf):
     """Piecewise-quadratic CDF interpolation (`losses.py:641-656`)."""
-    from neurad_tpu.core.math_utils import searchsorted_dense
+    from neurad_tpu.core.math_utils import searchsorted_dense, take_along_small
 
     right_idx = searchsorted_dense(xp, x, side="left")
     left_idx = jnp.clip(right_idx - 1, 0, None)
     right_idx = jnp.clip(right_idx, None, xp.shape[-1] - 1)
 
-    xp0 = jnp.take_along_axis(xp, left_idx, axis=-1)
-    xp1 = jnp.take_along_axis(xp, right_idx, axis=-1)
-    fpdf0 = jnp.take_along_axis(fpdf, left_idx, axis=-1)
-    fpdf1 = jnp.take_along_axis(fpdf, right_idx, axis=-1)
-    fcdf0 = jnp.take_along_axis(fcdf, left_idx, axis=-1)
+    xp0 = take_along_small(xp, left_idx)
+    xp1 = take_along_small(xp, right_idx)
+    fpdf0 = take_along_small(fpdf, left_idx)
+    fpdf1 = take_along_small(fpdf, right_idx)
+    fcdf0 = take_along_small(fcdf, left_idx)
 
     offset = jnp.clip(jnp.nan_to_num((x - xp0) / (xp1 - xp0)), 0.0, 1.0)
     return fcdf0 + (x - xp0) * (fpdf0 + fpdf1 * offset + fpdf0 * (1.0 - offset)) * 0.5

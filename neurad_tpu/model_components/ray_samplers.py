@@ -122,17 +122,18 @@ def pdf_sampler(
         [ray_samples.spacing_starts[..., 0], ray_samples.spacing_ends[..., -1:, 0]], axis=-1
     )  # [R, S+1]
 
-    # torch.searchsorted(..., side="right") = #elements cdf[i] <= u, computed
-    # as one dense comparison reduction (see core/math_utils.searchsorted_dense)
-    from neurad_tpu.core.math_utils import searchsorted_dense
+    # torch.searchsorted(..., side="right") = #elements cdf[i] <= u, computed as
+    # one dense comparison reduction; the 4 neighbor lookups use the gather-free
+    # one-hot reduction (core/math_utils.take_along_small — TPU fast path)
+    from neurad_tpu.core.math_utils import searchsorted_dense, take_along_small
 
     inds = searchsorted_dense(cdf, u, side="right")
     below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
     above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    bins_g0 = jnp.take_along_axis(existing_bins, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g1 = jnp.take_along_axis(existing_bins, above, axis=-1)
+    cdf_g0 = take_along_small(cdf, below)
+    bins_g0 = take_along_small(existing_bins, below)
+    cdf_g1 = take_along_small(cdf, above)
+    bins_g1 = take_along_small(existing_bins, above)
 
     t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0)), 0.0, 1.0)
     bins = bins_g0 + t * (bins_g1 - bins_g0)

@@ -28,7 +28,7 @@ from neurad_tpu.cameras.camera_optimizers import CameraOptimizer
 from neurad_tpu.core.structs import RayBundle, RaySamples
 from neurad_tpu.fields.mlp import MLP
 from neurad_tpu.fields.neurad_encoding import ActorSettings, StaticSettings
-from neurad_tpu.fields.neurad_field import NeuRADField, NeuRADProposalField
+from neurad_tpu.fields.neurad_field import MLPProposalField, NeuRADField, NeuRADProposalField
 from neurad_tpu.model_components import losses as L
 from neurad_tpu.model_components.cnns import RGBDecoderCNN
 from neurad_tpu.model_components.dynamic_actors import ActorData, DynamicActors
@@ -91,6 +91,9 @@ class NeuRADModel(nn.Module):
     proposal_actor: ActorSettings = ActorSettings(
         log2_hashmap_size=15, num_levels=4, base_res=64, max_res=1024, hashgrid_dim=1
     )
+    # "mlp" (TPU-native fourier+MLP density, matmul-only) or "hashgrid"
+    # (reference-faithful 6-level hash proposal, `neurad_field.py:185-216`)
+    proposal_mode: str = "mlp"
     appearance_dim: int = 16
     use_temporal_appearance: bool = True
     temporal_appearance_freq: float = 1.0
@@ -124,17 +127,24 @@ class NeuRADModel(nn.Module):
             use_sdf=self.use_sdf,
             max_actors_per_ray=self.max_actors_per_ray,
         )
-        self.proposal_fields = [
-            NeuRADProposalField(
-                actors=self.actors,
-                static_scale=self.static_scale,
-                static=s,
-                actor=self.proposal_actor,
-                max_actors_per_ray=self.max_actors_per_ray,
-                name=f"proposal_field_{i}",
-            )
-            for i, s in enumerate(self.proposal_static)
-        ]
+        if self.proposal_mode == "mlp":
+            # TPU-native default: matmul-only proposal density (see MLPProposalField)
+            self.proposal_fields = [
+                MLPProposalField(static_scale=self.static_scale, name=f"proposal_field_{i}")
+                for i in range(len(self.proposal_static))
+            ]
+        else:
+            self.proposal_fields = [
+                NeuRADProposalField(
+                    actors=self.actors,
+                    static_scale=self.static_scale,
+                    static=s,
+                    actor=self.proposal_actor,
+                    max_actors_per_ray=self.max_actors_per_ray,
+                    name=f"proposal_field_{i}",
+                )
+                for i, s in enumerate(self.proposal_static)
+            ]
         self.camera_optimizer = CameraOptimizer(
             num_cameras=self.num_train_images,
             mode=self.camera_opt_mode,
