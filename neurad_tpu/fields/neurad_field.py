@@ -148,7 +148,12 @@ class MLPProposalField(nn.Module):
 
     def setup(self):
         self.mlp = MLP(out_dim=self.hidden_dim, num_layers=self.num_layers, layer_width=self.hidden_dim)
-        self.density_decoder = nn.Dense(1, use_bias=False)
+        # Near-zero init => initial density ~= trunc_exp(0) = 1 everywhere, i.e.
+        # a UNIFORM proposal at step 0. The hashgrid proposal gets this for free
+        # (tables init at ~1e-4); with O(1) fourier features a default-init
+        # decoder makes trunc_exp span orders of magnitude and the PDF sampler
+        # collapses all samples onto random density spikes before training.
+        self.density_decoder = nn.Dense(1, use_bias=False, kernel_init=nn.initializers.normal(1e-4))
 
     def get_density(self, ray_samples: RaySamples, edits=None) -> jnp.ndarray:
         from neurad_tpu.fields.spatial_distortions import scaled_scene_contraction_gaussian

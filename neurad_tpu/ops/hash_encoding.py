@@ -84,30 +84,33 @@ _FP32_ACCUM_MAX_BYTES = 32 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _gather_levels(table_size: int, read_bf16: bool, table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Per-level table gather: [num_levels * table_size, F] x [L, n] -> [L, n, F].
+def _gather_levels(table_size: int, read_bf16: bool, table: jnp.ndarray, idx: tuple) -> tuple:
+    """Per-level table gather: [num_levels * table_size, F] x (L x [*b]) -> (L x [*b, F]).
 
-    CRITICAL TPU layout decision (v5e, measured): XLA's gather throughput is a
-    function of OPERAND SIZE — ~430 M rows/s against an 0.25 MB table, ~300 M
-    at 8 MB, ~84 M at 33 MB, and ~40 M against the 537 MB all-levels table the
-    naive layout produces. Gathering each level against its own <=33 MB slice
-    (bf16 read, matching tcnn's fp16 feature storage) keeps every operand in
-    the fast domain. Same trick in the backward: per-level scatter-add with a
-    per-level accumulator, bf16 when the fp32 buffer would exceed 32 MB.
+    CRITICAL TPU layout decisions (v5e, measured):
+    - XLA's gather throughput is a function of OPERAND SIZE — ~430 M rows/s
+      against an 0.25 MB table, ~300 M at 8 MB, ~84 M at 33 MB, and ~40 M
+      against the 537 MB all-levels table the naive layout produces. Gathering
+      each level against its own <=33 MB slice (bf16 read, matching tcnn's
+      fp16 feature storage) keeps every operand in the fast domain. Same trick
+      in the backward: per-level scatter-add with a per-level accumulator,
+      bf16 when the fp32 buffer would exceed 32 MB.
+    - idx is a TUPLE of per-level index arrays in their natural sample-major
+      shape, NOT a stacked [L, n] array: stacking requires a [n, L] -> [L, n]
+      transpose whose T(1,128)-tiled row slices cost ~10 ms each at train
+      shapes (~50-100 ms/step of pure relayout copies in the round-2 trace).
     """
     return _gather_levels_impl(table_size, read_bf16, table, idx)
 
 
 def _gather_levels_impl(table_size, read_bf16, table, idx):
-    num_levels = idx.shape[0]
-    f = table.shape[-1]
     outs = []
-    for l in range(num_levels):
+    for l, idx_l in enumerate(idx):
         tbl = jax.lax.slice_in_dim(table, l * table_size, (l + 1) * table_size, axis=0)
         if read_bf16:
             tbl = tbl.astype(jnp.bfloat16)
-        outs.append(jnp.take(tbl, idx[l], axis=0).astype(table.dtype))
-    return jnp.stack(outs)  # [L, n, F]
+        outs.append(jnp.take(tbl, idx_l, axis=0).astype(table.dtype))
+    return tuple(outs)
 
 
 def _gather_levels_fwd(table_size, read_bf16, table, idx):
@@ -120,13 +123,12 @@ def _gather_levels_fwd(table_size, read_bf16, table, idx):
 def _gather_levels_bwd(table_size, read_bf16, res, g):
     idx, probe = res
     f, dtype = probe.shape[-1], probe.dtype
-    num_levels = idx.shape[0]
     accum_dtype = jnp.float32
     if table_size * f * 4 > _FP32_ACCUM_MAX_BYTES:
         accum_dtype = jnp.bfloat16
     parts = []
-    for l in range(num_levels):
-        dt = jnp.zeros((table_size, f), accum_dtype).at[idx[l]].add(g[l].astype(accum_dtype))
+    for idx_l, g_l in zip(idx, g):
+        dt = jnp.zeros((table_size, f), accum_dtype).at[idx_l].add(g_l.astype(accum_dtype))
         parts.append(dt.astype(dtype))
     return jnp.concatenate(parts, axis=0), None
 
@@ -168,40 +170,42 @@ def hash_encode(
     n_corners = 2**d
     f = table.shape[-1] // (n_corners if cell_packed else 1)
     corners = jnp.asarray(_corner_offsets(d))  # [C, D], C = 2^D
-
-    scaled = positions[..., None, :] * scales[:, None]  # [..., L, D]
-    floor = jnp.floor(scaled)
-    offset = scaled - floor  # [..., L, D] in [0,1)
-    floor_i = floor.astype(jnp.int32)
-
     read_bf16 = gather_dtype is not None
-    if cell_packed:
-        # one row per CELL: [..., L] gathers of 2^D * F features
-        hashed = _hash(floor_i, table_size)  # [..., L]
-        # per-level layout: [L, n] within-level row ids (see _gather_levels)
-        idx_ln = jnp.moveaxis(hashed, -1, 0).reshape(num_levels, -1)
-        flat_feats = _gather_levels(table_size, read_bf16, table, idx_ln)  # [L, n, Fw]
-        feats = jnp.moveaxis(
-            flat_feats.reshape((num_levels,) + hashed.shape[:-1] + (n_corners, f)), 0, -3
-        )  # [..., L, C, F]
-    else:
-        # corner coords: floor + {0,1}^D  -> [..., L, C, D]
-        corner_coords = floor_i[..., None, :] + corners
-        hashed = _hash(corner_coords, table_size)  # [..., L, C]
-        idx_ln = jnp.moveaxis(hashed, -2, 0).reshape(num_levels, -1)
-        flat_feats = _gather_levels(table_size, read_bf16, table, idx_ln)  # [L, n*C, F]
-        feats = jnp.moveaxis(
-            flat_feats.reshape((num_levels,) + hashed.shape[:-2] + (n_corners, f)), 0, -3
-        )  # [..., L, C, F]
 
-    # D-linear interpolation weights: prod over dims of (offset if corner bit else 1-offset)
-    w = jnp.where(corners.astype(bool), offset[..., None, :], 1.0 - offset[..., None, :])  # [..., L, C, D]
-    w = jnp.prod(w, axis=-1)  # [..., L, C]
+    # Everything is computed PER LEVEL in the samples' natural layout: stacking
+    # a [..., L] level axis and transposing to [L, n] index rows costs ~10 ms
+    # per level of T(1,128) relayout copies at train shapes (round-2 trace);
+    # recomputing the per-level scale/floor/offset is a handful of fused
+    # elementwise ops and keeps every index/weight array sample-major.
+    idx_list, offsets = [], []
+    for l in range(num_levels):
+        scaled = positions * scales[l]
+        floor = jnp.floor(scaled)
+        offsets.append(scaled - floor)  # [..., D] in [0,1)
+        floor_i = floor.astype(jnp.int32)
+        if cell_packed:
+            idx_list.append(_hash(floor_i, table_size))  # [...]: one row per cell
+        else:
+            idx_list.append(_hash(floor_i[..., None, :] + corners, table_size))  # [..., C]
 
-    out = jnp.sum(feats * w[..., None], axis=-2)  # [..., L, F]
-    if level_weights is not None:
-        out = out * level_weights[..., None]
-    return out.reshape(out.shape[:-2] + (num_levels * f,))
+    feats_per_level = _gather_levels(table_size, read_bf16, table, tuple(idx_list))
+
+    outs = []
+    for l in range(num_levels):
+        offset = offsets[l]
+        # D-linear interpolation: prod over dims of (offset if corner bit else 1-offset)
+        w = jnp.prod(
+            jnp.where(corners.astype(bool), offset[..., None, :], 1.0 - offset[..., None, :]),
+            axis=-1,
+        )  # [..., C]
+        feats = feats_per_level[l]
+        if cell_packed:
+            feats = feats.reshape(feats.shape[:-1] + (n_corners, f))  # [..., C, F]
+        o = jnp.sum(feats * w[..., None], axis=-2)  # [..., F]
+        if level_weights is not None:
+            o = o * level_weights[..., l][..., None]
+        outs.append(o)
+    return jnp.concatenate(outs, axis=-1)  # [..., L*F]
 
 
 def gaussian_level_weights(std: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
