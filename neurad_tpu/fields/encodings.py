@@ -42,29 +42,35 @@ class HashEncoding(nn.Module):
         # cell packing widens rows by 2^D; entries divide by 2^D for constant bytes
         packing = 2**self.n_input_dims if self.cell_packed else 1
         self.table_size = max(2**self.log2_hashmap_size // packing, 1)
-        self.scales = jnp.asarray(he.level_scales(self.num_levels, self.min_res, self.max_res))
+        scales_np = he.level_scales(self.num_levels, self.min_res, self.max_res)
+        self.scales = jnp.asarray(scales_np)
+        # per-level tables, dense-sized for coarse levels (see ops/hash_encoding)
+        _, self.dense_res = he.level_rows(
+            scales_np, self.n_input_dims, self.table_size, self.cell_packed
+        )
         self.hash_table = self.param(
             "hash_table",
-            lambda key: he.init_hash_table(
-                key, self.num_levels, self.table_size, self.features_per_level, self.hash_init_scale,
-                corners_packed=packing,
+            lambda key: he.init_hash_tables(
+                key, scales_np, self.n_input_dims, self.table_size, self.features_per_level,
+                self.hash_init_scale, cell_packed=self.cell_packed,
             ),
         )
 
     def __call__(self, positions) -> jnp.ndarray:
         if isinstance(positions, GaussiansStd):
             return he.hash_encode_gaussians(
-                positions.mean, positions.std, self.hash_table, self.scales, self.table_size,
-                cell_packed=self.cell_packed,
+                positions.mean, positions.std, self.hash_table, self.scales,
+                cell_packed=self.cell_packed, dense_res=self.dense_res,
             )
         return he.hash_encode(
-            positions, self.hash_table, self.scales, self.table_size, cell_packed=self.cell_packed
+            positions, self.hash_table, self.scales, cell_packed=self.cell_packed,
+            dense_res=self.dense_res,
         )
 
     def encode_with_level_weights(self, positions: jnp.ndarray, level_weights: Optional[jnp.ndarray]) -> jnp.ndarray:
         return he.hash_encode(
-            positions, self.hash_table, self.scales, self.table_size, level_weights,
-            cell_packed=self.cell_packed,
+            positions, self.hash_table, self.scales, level_weights=level_weights,
+            cell_packed=self.cell_packed, dense_res=self.dense_res,
         )
 
 

@@ -96,21 +96,31 @@ class NeuRADHashEncoding(nn.Module):
         # log2_hashmap_size counts FEATURE-SLOT capacity; cell packing widens rows
         # by 2^D, so the entry count divides by 2^D to keep table bytes constant.
         self.static_table_size = max(2**s.log2_hashmap_size // (8 if s.cell_packed else 1), 1)
-        self.static_scales = jnp.asarray(he.level_scales(s.num_levels, s.base_res, s.max_res))
+        static_scales_np = he.level_scales(s.num_levels, s.base_res, s.max_res)
+        self.static_scales = jnp.asarray(static_scales_np)
+        # per-level tables: dense-sized coarse levels + independent per-level
+        # gradient scatters (see ops/hash_encoding.init_hash_tables)
+        _, self.static_dense_res = he.level_rows(
+            static_scales_np, 3, self.static_table_size, s.cell_packed
+        )
         self.static_table = self.param(
             "static_hash_table",
-            lambda key: he.init_hash_table(
-                key, s.num_levels, self.static_table_size, s.hashgrid_dim,
-                corners_packed=8 if s.cell_packed else 1,
+            lambda key: he.init_hash_tables(
+                key, static_scales_np, 3, self.static_table_size, s.hashgrid_dim,
+                cell_packed=s.cell_packed,
             ),
         )
         self.actor_table_size = max(2**a.log2_hashmap_size // (16 if a.cell_packed else 1), 1)
-        self.actor_scales = jnp.asarray(he.level_scales(a.num_levels, a.base_res, a.max_res))
+        actor_scales_np = he.level_scales(a.num_levels, a.base_res, a.max_res)
+        self.actor_scales = jnp.asarray(actor_scales_np)
+        _, self.actor_dense_res = he.level_rows(
+            actor_scales_np, 4, self.actor_table_size, a.cell_packed
+        )
         self.actor_table = self.param(
             "actor_hash_table",
-            lambda key: he.init_hash_table(
-                key, a.num_levels, self.actor_table_size, a.hashgrid_dim,
-                corners_packed=16 if a.cell_packed else 1,  # 4D grid
+            lambda key: he.init_hash_tables(
+                key, actor_scales_np, 4, self.actor_table_size, a.hashgrid_dim,
+                cell_packed=a.cell_packed,  # 4D grid
             ),
         )
 
@@ -127,8 +137,8 @@ class NeuRADHashEncoding(nn.Module):
         # ---- static world features (`neurad_encoding.py:167-171,265-268`) ----
         static_g = scaled_scene_contraction_gaussian(positions, self.static_scale)
         features = he.hash_encode_gaussians(
-            static_g.mean, static_g.std, self.static_table, self.static_scales, self.static_table_size,
-            cell_packed=self.static.cell_packed,
+            static_g.mean, static_g.std, self.static_table, self.static_scales,
+            cell_packed=self.static.cell_packed, dense_res=self.static_dense_res,
         )  # [R, S, L*F]
 
         if self.disable_actors or self.actors.n_actors == 0:
@@ -228,7 +238,7 @@ class NeuRADHashEncoding(nn.Module):
             _, top_idx = jax.lax.top_k(flat_hit.astype(jnp.float32), cap)
             sel_feats = he.hash_encode_gaussians(
                 flat_mean4[top_idx], flat_std[top_idx], self.actor_table, self.actor_scales,
-                self.actor_table_size, cell_packed=self.actor.cell_packed,
+                cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res,
             )  # [cap, La*Fa]
             actor_feats = (
                 jnp.zeros((r * s, sel_feats.shape[-1]), sel_feats.dtype)
@@ -248,8 +258,8 @@ class NeuRADHashEncoding(nn.Module):
             hit = hit & covered
         else:
             actor_feats = he.hash_encode_gaussians(
-                mean4, actor_g.std, self.actor_table, self.actor_scales, self.actor_table_size,
-                cell_packed=self.actor.cell_packed,
+                mean4, actor_g.std, self.actor_table, self.actor_scales,
+                cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res,
             )  # [R, S, La*Fa]
 
         pad = self.out_dim - actor_feats.shape[-1]

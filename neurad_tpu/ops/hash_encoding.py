@@ -58,6 +58,61 @@ def init_hash_table(
     return (jax.random.uniform(key, shape, minval=-1.0, maxval=1.0) * scale).astype(jnp.float32)
 
 
+def level_rows(
+    scales: "np.ndarray", d: int, max_rows: int, cell_packed: bool
+) -> Tuple[Tuple[int, ...], Tuple[Optional[int], ...]]:
+    """tcnn-style per-level table sizing: a level whose DENSE grid fits under
+    `max_rows` gets exactly (res+pad)^d rows and collision-free linear indexing;
+    only finer levels hash into `max_rows` rows (tcnn `grid.h` does the same:
+    `std::min(1u << log2_hashmap_size, grid_volume)`; the reference inherits it
+    through tiny-cuda-nn at `encodings.py:370-373`).
+
+    On TPU this is also the PERFORMANCE fix for coarse levels: XLA's
+    gather/scatter throughput falls off ~5x once the operand outgrows VMEM
+    scale (measured: 755 M rows/s at 0.3 MB -> 95 M at 33 MB), so right-sizing
+    coarse levels keeps most of the per-step table traffic in the fast domain.
+
+    Returns (rows_per_level, dense_res_per_level); dense_res is None for
+    hashed levels. `cell_packed` rows index CELLS (res+1 per dim), unpacked
+    rows index grid CORNERS (res+2 per dim, the +1 corner of the last cell).
+    """
+    rows, dense = [], []
+    for s in np.asarray(scales):
+        res = int(np.floor(float(s))) + (1 if cell_packed else 2)
+        if res**d <= max_rows:
+            rows.append(res**d)
+            dense.append(res)
+        else:
+            rows.append(max_rows)
+            dense.append(None)
+    return tuple(rows), tuple(dense)
+
+
+def init_hash_tables(
+    key: jax.Array,
+    scales: "np.ndarray",
+    d: int,
+    max_rows: int,
+    features_per_level: int,
+    scale: float = 0.001,
+    cell_packed: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Per-level tables as a TUPLE of [rows_l, F_row] arrays.
+
+    Separate arrays (not one concatenated [L*T, F]) are load-bearing on TPU:
+    independent per-level gradient scatter-adds overlap in XLA's scheduler
+    (~480 M rows/s aggregate, measured) while assembling them into one buffer
+    serializes the scatters behind dynamic-update-slices (~64 M rows/s).
+    """
+    rows, _ = level_rows(scales, d, max_rows, cell_packed)
+    f_row = features_per_level * ((2**d) if cell_packed else 1)
+    keys = jax.random.split(key, len(rows))
+    return tuple(
+        (jax.random.uniform(k, (r, f_row), minval=-1.0, maxval=1.0) * scale).astype(jnp.float32)
+        for k, r in zip(keys, rows)
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _hash(coords: jnp.ndarray, table_size: int) -> jnp.ndarray:
     """Spatial hash of integer coords [..., D] -> [...] (`encodings.py:406-421`)."""
@@ -74,6 +129,21 @@ def _corner_offsets(d: int) -> np.ndarray:
     """[2^D, D] binary corner offsets."""
     corners = np.arange(2**d)
     return np.stack([(corners >> i) & 1 for i in range(d)], axis=-1).astype(np.int32)
+
+
+def _dense_index(coords: jnp.ndarray, res: int) -> jnp.ndarray:
+    """Collision-free linear index for a dense level: [..., D] -> [...].
+
+    Same contract as tcnn's dense branch (`grid.h` grid_index): row-major
+    strides over a res^D grid. Coords are clipped defensively (positions are
+    in [0,1]^D by the scene-contraction contract, but fp rounding can land
+    exactly on the upper face).
+    """
+    c = jnp.clip(coords, 0, res - 1)
+    idx = c[..., 0]
+    for i in range(1, coords.shape[-1]):
+        idx = idx * res + c[..., i]
+    return idx.astype(jnp.int32)
 
 
 # Gradient accumulators larger than this run in bf16 (tcnn accumulates its
@@ -136,22 +206,67 @@ def _gather_levels_bwd(table_size, read_bf16, res, g):
 _gather_levels.defvjp(_gather_levels_fwd, _gather_levels_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_levels_multi(read_bf16: bool, shapes: tuple, tables: tuple, idx: tuple) -> tuple:
+    """Per-level gather against a TUPLE of per-level tables: the TPU fast path.
+
+    vs the single-array `_gather_levels` (kept for the legacy [L*T, F] layout):
+    - each level's operand is right-sized (dense coarse levels are KBs-MBs, in
+      the ~750 M rows/s gather domain; only hashed fine levels pay the ~95 M
+      rows/s big-operand rate);
+    - the backward emits one INDEPENDENT scatter-add per level with its own
+      accumulator and returns them as a tuple — XLA overlaps independent
+      scatters (~480 M rows/s aggregate, measured on v5e at train shapes);
+      concatenating them into one buffer serializes the same scatters to
+      ~64 M rows/s (the dominant cost of the round-2 step).
+    """
+    return _gather_levels_multi_impl(read_bf16, tables, idx)
+
+
+def _gather_levels_multi_impl(read_bf16, tables, idx):
+    outs = []
+    for tbl, idx_l in zip(tables, idx):
+        src = tbl.astype(jnp.bfloat16) if read_bf16 else tbl
+        outs.append(jnp.take(src, idx_l, axis=0).astype(tbl.dtype))
+    return tuple(outs)
+
+
+def _gather_levels_multi_fwd(read_bf16, shapes, tables, idx):
+    return _gather_levels_multi_impl(read_bf16, tables, idx), idx
+
+
+def _gather_levels_multi_bwd(read_bf16, shapes, idx, g):
+    parts = []
+    for idx_l, g_l, shape in zip(idx, g, shapes):
+        # fp32 accumulation when the buffer is small enough (all dense levels),
+        # bf16 beyond (tcnn accumulates its table grads in fp16 the same way)
+        accum_dtype = jnp.float32 if shape[0] * shape[1] * 4 <= _FP32_ACCUM_MAX_BYTES else jnp.bfloat16
+        dt = jnp.zeros(shape, accum_dtype).at[idx_l].add(g_l.astype(accum_dtype))
+        parts.append(dt.astype(jnp.float32))
+    return tuple(parts), None
+
+
+_gather_levels_multi.defvjp(_gather_levels_multi_fwd, _gather_levels_multi_bwd)
+
+
 def hash_encode(
     positions: jnp.ndarray,
-    table: jnp.ndarray,
+    table,
     scales: jnp.ndarray,
-    table_size: int,
+    table_size: int = 0,
     level_weights: Optional[jnp.ndarray] = None,
     gather_dtype: Optional[jnp.dtype] = jnp.bfloat16,
     cell_packed: bool = False,
+    dense_res: Optional[Tuple[Optional[int], ...]] = None,
 ) -> jnp.ndarray:
     """Multi-level hash lookup with D-linear interpolation.
 
     Args:
         positions: [..., D] in [0,1]^D (D = 3 or 4).
-        table: [num_levels * table_size, F].
+        table: TUPLE of per-level [rows_l, F] tables (the TPU fast path — see
+            `init_hash_tables`), or a legacy [num_levels * table_size, F] array.
         scales: [num_levels] per-level grid resolution.
-        table_size: entries per level (static).
+        table_size: entries per level (required for the legacy array layout).
         level_weights: optional [..., num_levels] per-level feature downweighting
             (NeuRAD's anti-aliasing, `neurad_encoding.py:297-304`).
         gather_dtype: dtype for the table READ. bf16 halves HBM traffic on the
@@ -161,6 +276,9 @@ def hash_encode(
             (one gather per sample-level, the TPU-native fast path; corner
             features are per-cell, i.e. not shared across cell faces — the MLP
             absorbs the resulting discontinuity like it absorbs hash collisions).
+        dense_res: per-level dense resolution (from `level_rows`); levels with a
+            resolution use collision-free linear indexing like tcnn's dense
+            branch. Only valid with tuple tables.
 
     Returns:
         [..., num_levels * F] encoded features (fp32).
@@ -168,9 +286,13 @@ def hash_encode(
     num_levels = scales.shape[0]
     d = positions.shape[-1]
     n_corners = 2**d
-    f = table.shape[-1] // (n_corners if cell_packed else 1)
+    multi = isinstance(table, (tuple, list))
+    f_row = table[0].shape[-1] if multi else table.shape[-1]
+    f = f_row // (n_corners if cell_packed else 1)
     corners = jnp.asarray(_corner_offsets(d))  # [C, D], C = 2^D
     read_bf16 = gather_dtype is not None
+    if dense_res is None:
+        dense_res = (None,) * num_levels
 
     # Everything is computed PER LEVEL in the samples' natural layout: stacking
     # a [..., L] level axis and transposing to [L, n] index rows costs ~10 ms
@@ -179,16 +301,22 @@ def hash_encode(
     # elementwise ops and keeps every index/weight array sample-major.
     idx_list, offsets = [], []
     for l in range(num_levels):
+        rows_l = table[l].shape[0] if multi else table_size
         scaled = positions * scales[l]
         floor = jnp.floor(scaled)
         offsets.append(scaled - floor)  # [..., D] in [0,1)
         floor_i = floor.astype(jnp.int32)
-        if cell_packed:
-            idx_list.append(_hash(floor_i, table_size))  # [...]: one row per cell
+        coords = floor_i if cell_packed else floor_i[..., None, :] + corners
+        if dense_res[l] is not None:
+            idx_list.append(_dense_index(coords, dense_res[l]))
         else:
-            idx_list.append(_hash(floor_i[..., None, :] + corners, table_size))  # [..., C]
+            idx_list.append(_hash(coords, rows_l))
 
-    feats_per_level = _gather_levels(table_size, read_bf16, table, tuple(idx_list))
+    if multi:
+        shapes = tuple(t.shape for t in table)
+        feats_per_level = _gather_levels_multi(read_bf16, shapes, tuple(table), tuple(idx_list))
+    else:
+        feats_per_level = _gather_levels(table_size, read_bf16, table, tuple(idx_list))
 
     outs = []
     for l in range(num_levels):
@@ -223,10 +351,11 @@ def gaussian_level_weights(std: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray
 def hash_encode_gaussians(
     gauss_mean: jnp.ndarray,
     gauss_std: jnp.ndarray,
-    table: jnp.ndarray,
+    table,
     scales: jnp.ndarray,
-    table_size: int,
+    table_size: int = 0,
     cell_packed: bool = False,
+    dense_res: Optional[Tuple[Optional[int], ...]] = None,
 ) -> jnp.ndarray:
     """Encode multisampled gaussians and average over multisamples
     (`neurad_encoding.py:265-268,297-304`).
@@ -239,7 +368,8 @@ def hash_encode_gaussians(
     """
     w = gaussian_level_weights(gauss_std, scales)  # [..., M, L]
     feats = hash_encode(
-        gauss_mean, table, scales, table_size, level_weights=w, cell_packed=cell_packed
+        gauss_mean, table, scales, table_size, level_weights=w, cell_packed=cell_packed,
+        dense_res=dense_res,
     )  # [..., M, L*F]
     return feats.mean(axis=-2)
 

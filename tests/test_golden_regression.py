@@ -17,7 +17,7 @@ from neurad_tpu.pipelines.ad_pipeline import ADPipeline, ADPipelineConfig
 from tests.test_e2e_train import TINY_MODEL
 
 # loss at steps 0, 5, 10, 15, 20, 25 (seed 0, recorded on the 8-dev CPU mesh)
-GOLDEN_LOSSES = [0.61579, 0.60872, 0.54438, 0.56623, 0.56234, 0.47453]
+GOLDEN_LOSSES = [0.61572, 0.6086, 0.54433, 0.56622, 0.56205, 0.47468]
 
 
 def _train_curve(n_steps=30):
