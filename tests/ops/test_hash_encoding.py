@@ -117,3 +117,65 @@ def test_hash_encode_gaussians_matches_manual():
     manual = he.hash_encode(mean, table, scales, 2**10, level_weights=w).mean(axis=-2)
     np.testing.assert_allclose(out, manual, atol=1e-6)
     assert out.shape == (6, 4)
+
+# ---- tuple-of-tables layout (TPU fast path, ops/hash_encoding.init_hash_tables) ----
+
+
+def test_level_rows_dense_sizing():
+    """tcnn sizing rule: dense grid if it fits under max_rows, else hashed."""
+    scales = he.level_scales(4, 4, 64)  # 4, 10, 25, 64
+    rows, dense = he.level_rows(scales, d=3, max_rows=2**10, cell_packed=True)
+    # res 4 -> 5^3=125 dense; res 10 -> 11^3=1331 > 1024 hashed
+    assert rows[0] == 125 and dense[0] == 5
+    assert rows[1] == 1024 and dense[1] is None
+    # unpacked (corner-indexed) grids need one extra vertex per dim
+    rows_u, dense_u = he.level_rows(scales, d=3, max_rows=2**10, cell_packed=False)
+    assert rows_u[0] == 6**3 and dense_u[0] == 6
+
+
+def test_tuple_tables_shapes_and_grads():
+    key = jax.random.PRNGKey(7)
+    scales_np = he.level_scales(4, 4, 64)
+    scales = jnp.asarray(scales_np)
+    tables = he.init_hash_tables(key, scales_np, 3, 2**10, 2)
+    _, dense = he.level_rows(scales_np, 3, 2**10, False)
+    x = jax.random.uniform(key, (33, 3))
+    out = he.hash_encode(x, tables, scales, dense_res=dense)
+    assert out.shape == (33, 8)
+
+    def loss(t):
+        return jnp.sum(he.hash_encode(x, t, scales, dense_res=dense) ** 2)
+
+    g = jax.grad(loss)(tables)
+    assert isinstance(g, tuple) and len(g) == 4
+    for gt, t in zip(g, tables):
+        assert gt.shape == t.shape and gt.dtype == jnp.float32
+    assert float(sum(jnp.sum(jnp.abs(gt)) for gt in g)) > 0
+
+
+def test_dense_level_is_collision_free():
+    """On a dense level, distinct cells must hit distinct rows (no hash
+    collisions) and the encoding at a grid corner equals that row's entry."""
+    key = jax.random.PRNGKey(8)
+    scales_np = np.asarray([4.0])
+    tables = he.init_hash_tables(key, scales_np, 3, 2**10, 2, scale=1.0)
+    _, dense = he.level_rows(scales_np, 3, 2**10, False)
+    assert dense[0] == 6
+    # corner (2,1,3) at res 4 -> linear row (2*6+1)*6+3 = 81
+    pos = jnp.array([[2.0 / 4.0, 1.0 / 4.0, 3.0 / 4.0]])
+    out = he.hash_encode(pos, tables, jnp.asarray(scales_np), dense_res=dense, gather_dtype=None)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(tables[0][81]), atol=1e-6)
+
+
+def test_tuple_matches_legacy_hashed():
+    """With no dense levels, tuple tables built from the legacy array give the
+    same encoding (same hash, same interpolation)."""
+    key = jax.random.PRNGKey(9)
+    scales_np = he.level_scales(3, 32, 128)  # all hashed at 2^8 rows
+    scales = jnp.asarray(scales_np)
+    t_legacy = he.init_hash_table(key, 3, 2**8, 2, scale=1.0)
+    parts = tuple(t_legacy[l * 2**8:(l + 1) * 2**8] for l in range(3))
+    x = jax.random.uniform(key, (50, 3))
+    a = he.hash_encode(x, t_legacy, scales, 2**8, gather_dtype=None)
+    b = he.hash_encode(x, parts, scales, gather_dtype=None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
