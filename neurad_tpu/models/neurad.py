@@ -303,6 +303,35 @@ class NeuRADModel(nn.Module):
                     )
         return outputs
 
+    def query_geometry(self, points: jnp.ndarray, time: float = 0.0) -> jnp.ndarray:
+        """Field geometry at world points: SDF (use_sdf) or density [N].
+
+        Counterpart of the reference exporter's field query
+        (`exporter/marching_cubes.py:100-140` evaluates `field.get_sdf` on a
+        dense grid); used by the `field-mesh` export mode. Points become
+        degenerate frustums (tiny extent/pixel area) so the same field code
+        path runs without rays.
+        """
+        from neurad_tpu.core.structs import Frustums, RaySamples
+
+        n = points.shape[0]
+        eps = 1e-3
+        frustums = Frustums(
+            origins=points[:, None, :],
+            directions=jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (n, 1, 3)),
+            starts=jnp.zeros((n, 1, 1)),
+            ends=jnp.full((n, 1, 1), eps),
+            pixel_area=jnp.full((n, 1, 1), eps),
+        )
+        samples = RaySamples(
+            frustums=frustums,
+            deltas=jnp.full((n, 1, 1), eps),
+            times=jnp.full((n, 1), time),
+        )
+        out = self.field(samples)
+        geo = out.sdf if out.sdf is not None else out.density
+        return geo[..., 0, 0]
+
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------

@@ -93,12 +93,56 @@ def export_tsdf_mesh(pipeline, state, out_path: Path, resolution: int = 128):
     return len(verts), len(faces)
 
 
+def export_field_mesh(pipeline, state, out_path: Path, resolution: int = 256, time: float = 0.0,
+                      chunk: int = 131072):
+    """Direct field iso-surface: evaluate the model's SDF (or density) on a
+    dense grid and mesh the zero/threshold level set with marching tetrahedra.
+
+    Counterpart of the reference's marching-cubes export
+    (`exporter.py` ExportMarchingCubesMesh + `exporter/marching_cubes.py`
+    multi-res evaluation); iso-extraction is marching tetrahedra (no 256-case
+    tables; same surface family). Grid evaluation is chunked so any resolution
+    fits device memory.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from neurad_tpu.exporter.tsdf import marching_tetrahedra, write_mesh_ply
+    from neurad_tpu.models.neurad import NeuRADModel
+
+    aabb = np.asarray(pipeline.outputs.scene_box.aabb)
+    r = resolution
+    grid = np.stack(
+        np.meshgrid(*[np.linspace(aabb[0, i], aabb[1, i], r) for i in range(3)], indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3).astype(np.float32)
+
+    query = jax.jit(
+        lambda pts: pipeline.model.apply(state.params, pts, time, method=NeuRADModel.query_geometry)
+    )
+    vals = []
+    pad = (-len(grid)) % chunk
+    gpad = np.concatenate([grid, np.zeros((pad, 3), np.float32)]) if pad else grid
+    for i in range(0, len(gpad), chunk):
+        vals.append(np.asarray(query(jnp.asarray(gpad[i:i + chunk]))))
+    vol = np.concatenate(vals)[: len(grid)].reshape(r, r, r)
+
+    use_sdf = getattr(pipeline.model, "use_sdf", True)
+    iso = 0.0 if use_sdf else float(np.quantile(vol, 0.98))
+    # marching_tetrahedra treats vals < iso as inside; SDF is negative inside,
+    # density is LARGE inside -> negate for the density path
+    verts, faces = marching_tetrahedra(vol if use_sdf else -vol, aabb, iso=iso if use_sdf else -iso)
+    write_mesh_ply(out_path, verts, faces)
+    return len(verts), len(faces)
+
+
 def entrypoint(argv=None):
     parser = argparse.ArgumentParser(description="Export from a trained neurad_tpu run")
-    parser.add_argument("mode", choices=["pointcloud", "gaussian-splat", "camera-poses", "tsdf-mesh"])
+    parser.add_argument("mode", choices=["pointcloud", "gaussian-splat", "camera-poses", "tsdf-mesh", "field-mesh"])
     parser.add_argument("run_dir")
     parser.add_argument("--output", default=None)
     parser.add_argument("--resolution", type=int, default=128)
+    parser.add_argument("--time", type=float, default=0.0)
     args = parser.parse_args(argv)
 
     from neurad_tpu.scripts.eval import load_run
@@ -112,6 +156,9 @@ def entrypoint(argv=None):
     elif args.mode == "tsdf-mesh":
         nv, nf = export_tsdf_mesh(pipeline, state, out, resolution=args.resolution)
         print(f"[nt-export] wrote mesh with {nv} verts / {nf} faces to {out}")
+    elif args.mode == "field-mesh":
+        nv, nf = export_field_mesh(pipeline, state, out, resolution=args.resolution, time=args.time)
+        print(f"[nt-export] wrote field mesh with {nv} verts / {nf} faces to {out}")
     elif args.mode == "gaussian-splat":
         n = export_gaussian_splat(state.params, out)
         print(f"[nt-export] wrote {n} gaussians to {out}")
