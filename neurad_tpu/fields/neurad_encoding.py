@@ -229,8 +229,14 @@ class NeuRADHashEncoding(nn.Module):
         )
         r, s = hit.shape
         if self.actor_compaction > 0 and r * s > 256:
-            # compacted lookup: gather the (at most) capacity samples that hit an
-            # actor box, encode only those, scatter features back densely
+            # compacted lookup: gather the (at most) capacity samples that hit
+            # an actor box, encode only those, and scatter the MERGED rows into
+            # the feature buffer directly. Merging in compacted space (cap
+            # rows) instead of scattering into dense zero-buffers + covered
+            # mask + dense where() saves ~15 ms/step of [R*S, F] scatter-set
+            # fusions (round-2 trace). Overflowed hits (beyond cap) are not in
+            # top_idx, so their rows keep STATIC features — the correct
+            # fallback.
             cap = max(128, (r * s) // self.actor_compaction)
             flat_hit = hit.reshape(-1)
             flat_mean4 = mean4.reshape(r * s, *mean4.shape[2:])
@@ -240,28 +246,18 @@ class NeuRADHashEncoding(nn.Module):
                 flat_mean4[top_idx], flat_std[top_idx], self.actor_table, self.actor_scales,
                 cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res,
             )  # [cap, La*Fa]
-            actor_feats = (
-                jnp.zeros((r * s, sel_feats.shape[-1]), sel_feats.dtype)
-                .at[top_idx]
-                .set(sel_feats)
-                .reshape(r, s, -1)
-            )
-            # On overflow (> cap box hits) the dropped samples must keep their
-            # STATIC features, not all-zero rows: restrict the merge mask to
-            # samples the capacity set actually covered.
-            covered = (
-                jnp.zeros((r * s,), jnp.bool_)
-                .at[top_idx]
-                .set(flat_hit[top_idx])
-                .reshape(r, s)
-            )
-            hit = hit & covered
-        else:
-            actor_feats = he.hash_encode_gaussians(
-                mean4, actor_g.std, self.actor_table, self.actor_scales,
-                cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res,
-            )  # [R, S, La*Fa]
+            pad = self.out_dim - sel_feats.shape[-1]
+            if pad > 0:
+                sel_feats = jnp.pad(sel_feats, [(0, 0), (0, pad)])
+            flat_features = features.reshape(r * s, features.shape[-1])
+            sel_merged = jnp.where(flat_hit[top_idx][:, None], sel_feats, flat_features[top_idx])
+            features = flat_features.at[top_idx].set(sel_merged).reshape(r, s, -1)
+            return features, directions
 
+        actor_feats = he.hash_encode_gaussians(
+            mean4, actor_g.std, self.actor_table, self.actor_scales,
+            cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res,
+        )  # [R, S, La*Fa]
         pad = self.out_dim - actor_feats.shape[-1]
         if pad > 0:
             actor_feats = jnp.pad(actor_feats, [(0, 0)] * (actor_feats.ndim - 1) + [(0, pad)])
