@@ -423,3 +423,150 @@ def rasterize_lidar_points(
         "binning_dropped_pairs": binning.dropped_pairs,
         "binning_cropped_gaussians": binning.cropped_gaussians,
     }
+
+
+def rasterize_lidar_points_tiled(
+    projected: Projected,
+    features: jnp.ndarray,
+    opacities: jnp.ndarray,
+    raster_pts: jnp.ndarray,
+    azim_range: Tuple[float, float] = (-180.0, 180.0),
+    elev_range: Tuple[float, float] = (-25.0, 15.0),
+    tile_size_azim: float = 2.0,
+    tile_size_elev: float = 2.0,
+    max_per_tile: int = 128,
+    max_tiles_per_gaussian: int = 16,
+    compute_alpha_sum_until_points: bool = True,
+    depth_eps: float = 0.4,
+    pts_per_tile: int = 128,
+    tile_chunk: int = 512,
+) -> dict:
+    """Tile-grouped lidar rasterization — the TPU fast path.
+
+    Same math as `rasterize_lidar_points`, restructured like the camera
+    compositor: query points are sorted by tile and placed into a
+    [num_tiles, pts_per_tile] slot grid, so each tile's K gaussians are
+    gathered ONCE (num_tiles*K rows) instead of once per point (M*K rows), and
+    the feature contraction becomes a per-tile [P,K]x[K,C] MXU matmul. At 65k
+    points / 3600 tiles this cuts the gather AND backward scatter-add row
+    count ~18x — the per-point path measured 1.83 s fwd+bwd on one v5e, with
+    ~1.6 s of it in exactly those rows (benchmarks/splatad_profile.py).
+
+    Points beyond `pts_per_tile` in one tile get zero outputs and are counted
+    in `points_overflowed` (lidar beams spread <=
+    beams_per_deg * tile_elev * azim_cols points per tile; 128 covers
+    Pandar128-class sensors at the 2 deg x 2 deg default tiling).
+    """
+    ntx = max(1, int(-(-(azim_range[1] - azim_range[0]) // tile_size_azim)))
+    nty = max(1, int(-(-(elev_range[1] - elev_range[0]) // tile_size_elev)))
+    wrap = (azim_range[1] - azim_range[0]) >= 360.0 - 1e-6
+    binning = bin_gaussians(
+        projected.means2d,
+        projected.radii,
+        projected.depths,
+        grid_min=(azim_range[0], elev_range[0]),
+        tile_size=(tile_size_azim, tile_size_elev),
+        num_tiles=(ntx, nty),
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        max_per_tile=max_per_tile,
+        wrap_x=wrap,
+    )
+    t_total = ntx * nty
+    m = raster_pts.shape[0]
+    p = pts_per_tile
+    k = max_per_tile
+
+    qx = jnp.clip(((raster_pts[:, 0] - azim_range[0]) // tile_size_azim).astype(jnp.int32), 0, ntx - 1)
+    qy = jnp.clip(((raster_pts[:, 1] - elev_range[0]) // tile_size_elev).astype(jnp.int32), 0, nty - 1)
+    q_tile = qy * ntx + qx  # [M]
+
+    # slot assignment: sort points by tile, rank within tile = position - tile start
+    t_sorted, order_s = jax.lax.sort_key_val(q_tile, jnp.arange(m, dtype=jnp.int32), is_stable=True)
+    counts = jnp.zeros((t_total,), jnp.int32).at[q_tile].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(m, dtype=jnp.int32) - starts[t_sorted]
+    ok = rank < p
+    overflow = jnp.sum(~ok).astype(jnp.int32)
+    slot_raw = t_sorted * p + rank
+    # overflow ranks land inside the NEXT tile's slot range — mask them to an
+    # out-of-bounds index so mode="drop" discards them
+    slot_masked = jnp.where(ok, slot_raw, t_total * p)
+    pt_of_slot = jnp.full((t_total * p,), m, jnp.int32).at[slot_masked].set(order_s, mode="drop")
+    pts_pad = jnp.concatenate([raster_pts, jnp.zeros((1, raster_pts.shape[1]), raster_pts.dtype)])
+    pts_slot = pts_pad[pt_of_slot].reshape(t_total, p, -1)  # [T, P, >=4]
+    valid_slot = (pt_of_slot < m).reshape(t_total, p)
+
+    opac = opacities * projected.compensations
+
+    def tile_fn(args):
+        tg, tv, pts_c, vmask = args  # [Tc,K] [Tc,K] [Tc,P,4+] [Tc,P]
+        g_means = projected.means2d[tg]  # [Tc, K, 2]
+        g_vel = projected.vel2d[tg]
+        g_con = projected.conics[tg]
+        g_dep = projected.depths[tg]
+        g_dvel = projected.depth_vel[tg]
+        g_op = opac[tg]
+        g_feat = features[tg]  # [Tc, K, C]
+        t_pt = pts_c[..., 3]  # [Tc, P]
+        mu = g_means[:, None] + g_vel[:, None] * t_pt[..., None, None]  # [Tc,P,K,2]
+        d = pts_c[..., None, :2] - mu
+        if wrap:
+            d_az = jnp.mod(d[..., 0] + 180.0, 360.0) - 180.0
+            d = jnp.stack([d_az, d[..., 1]], axis=-1)
+        d = d.astype(jnp.bfloat16)
+        con = g_con[:, None].astype(jnp.bfloat16)
+        sigma = (
+            0.5 * (con[..., 0] * d[..., 0] ** 2 + con[..., 2] * d[..., 1] ** 2)
+            + con[..., 1] * d[..., 0] * d[..., 1]
+        ).astype(jnp.float32)
+        alpha = jnp.clip(g_op[:, None] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0)), 0.0, 0.999)
+        alpha = jnp.where(tv[:, None] & (alpha >= 1.0 / 255.0) & vmask[..., None], alpha, 0.0)
+        one_minus = 1.0 - alpha
+        trans = jnp.concatenate(
+            [jnp.ones_like(one_minus[..., :1]), jnp.cumprod(one_minus, axis=-1)[..., :-1]], axis=-1
+        )
+        w = alpha * trans  # [Tc, P, K]
+        g_depth = g_dep[:, None] + g_dvel[:, None] * t_pt[..., None]  # [Tc,P,K]
+        feat = jnp.einsum("tpk,tkc->tpc", w, g_feat)  # MXU contraction
+        depth = jnp.sum(w * g_depth, axis=-1, keepdims=True)
+        acc = jnp.sum(w, axis=-1, keepdims=True)
+        cum_w = jnp.cumsum(w, axis=-1)
+        med_idx = jnp.argmax(cum_w >= 0.5 * acc, axis=-1)
+        median_depth = jnp.take_along_axis(g_depth, med_idx[..., None], axis=-1)
+        if compute_alpha_sum_until_points:
+            before = g_depth < (pts_c[..., None, 2] - depth_eps)
+            alpha_until = jnp.sum(jnp.where(before, w, 0.0), axis=-1, keepdims=True)
+        else:
+            alpha_until = jnp.zeros_like(acc)
+        return feat, depth, acc, alpha_until, median_depth
+
+    pad = (-t_total) % tile_chunk
+    def padded(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0) if pad else x
+
+    tg = padded(binning.tile_gauss).reshape(-1, tile_chunk, k)
+    tv = padded(binning.tile_valid).reshape(-1, tile_chunk, k)
+    pc = padded(pts_slot).reshape(-1, tile_chunk, p, pts_slot.shape[-1])
+    vm = padded(valid_slot).reshape(-1, tile_chunk, p)
+    feat, depth, acc, alpha_until, med = jax.lax.map(jax.checkpoint(tile_fn), (tg, tv, pc, vm))
+
+    cdim = features.shape[-1]
+    # slot of each ORIGINAL point (overflow -> padded zero row)
+    slot_of_pt = jnp.full((m,), t_total * p, jnp.int32).at[order_s].set(
+        jnp.where(ok, slot_raw, t_total * p), mode="drop"
+    )
+    def per_point(x, c):
+        flat = x.reshape(-1, c)[: t_total * p]
+        flat = jnp.concatenate([flat, jnp.zeros((1, c), flat.dtype)])
+        return flat[jnp.clip(slot_of_pt, 0, t_total * p)]
+
+    return {
+        "features": per_point(feat, cdim),
+        "depth": per_point(depth, 1),
+        "alpha": per_point(acc, 1),
+        "alpha_sum_until_points": per_point(alpha_until, 1),
+        "median_depth": per_point(med, 1),
+        "binning_dropped_pairs": binning.dropped_pairs,
+        "binning_cropped_gaussians": binning.cropped_gaussians,
+        "points_overflowed": overflow,
+    }

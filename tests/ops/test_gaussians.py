@@ -165,3 +165,74 @@ def test_lidar_azimuth_wraparound():
     pts = jnp.array([[-179.5, 0.0, 10.0, 0.0]])  # just across the seam
     out = rasterize_lidar_points(proj, feats, opac, pts, max_per_tile=8)
     assert float(out["alpha"][0, 0]) > 0.05, "seam-crossing gaussian missed"
+
+
+def test_lidar_tiled_matches_pointwise():
+    """Tile-grouped lidar rasterization == per-point path (same math,
+    restructured for per-tile gaussian gathers + MXU feature contraction)."""
+    from neurad_tpu.ops.gaussian_rasterize import rasterize_lidar_points_tiled
+
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 6)
+    n = 400
+    means = jnp.stack([
+        jax.random.uniform(ks[0], (n,), minval=5, maxval=40),
+        jax.random.uniform(ks[1], (n,), minval=-20, maxval=20),
+        jax.random.uniform(ks[2], (n,), minval=-2, maxval=5),
+    ], axis=-1)
+    covs = quat_scale_to_covariance(
+        jnp.broadcast_to(ID_QUAT, (n, 4)), jnp.full((n, 3), 0.8)
+    )
+    proj = project_gaussians_lidar(means, covs, jnp.eye(4))
+    feats = jax.random.normal(ks[3], (n, 5))
+    opac = jax.nn.sigmoid(jax.random.normal(ks[4], (n,)))
+    m = 300
+    pts = jnp.stack([
+        jax.random.uniform(ks[5], (m,), minval=-179, maxval=179),
+        jax.random.uniform(ks[5], (m,), minval=-20, maxval=10),
+        jax.random.uniform(ks[5], (m,), minval=3, maxval=50),
+        jax.random.uniform(ks[5], (m,), minval=-0.05, maxval=0.05),
+    ], axis=-1)
+
+    kw = dict(max_per_tile=32, max_tiles_per_gaussian=16)
+    ref = rasterize_lidar_points(proj, feats, opac, pts, **kw)
+    out = rasterize_lidar_points_tiled(proj, feats, opac, pts, pts_per_tile=16, tile_chunk=256, **kw)
+    assert int(out["points_overflowed"]) == 0
+    for k_ in ("features", "depth", "alpha", "alpha_sum_until_points", "median_depth"):
+        np.testing.assert_allclose(
+            np.asarray(out[k_]), np.asarray(ref[k_]), atol=2e-3, rtol=2e-2,
+            err_msg=f"mismatch in {k_}",
+        )
+
+    # gradients flow and match
+    def loss_ref(op):
+        o = rasterize_lidar_points(proj, feats, op, pts, **kw)
+        return jnp.sum(o["features"] ** 2) + jnp.sum(o["alpha_sum_until_points"])
+
+    def loss_tiled(op):
+        o = rasterize_lidar_points_tiled(proj, feats, op, pts, pts_per_tile=16, tile_chunk=256, **kw)
+        return jnp.sum(o["features"] ** 2) + jnp.sum(o["alpha_sum_until_points"])
+
+    g_ref = jax.grad(loss_ref)(opac)
+    g_tiled = jax.grad(loss_tiled)(opac)
+    np.testing.assert_allclose(np.asarray(g_tiled), np.asarray(g_ref), atol=5e-3, rtol=5e-2)
+
+
+def test_lidar_tiled_overflow_counter():
+    """Points beyond pts_per_tile in one tile are zeroed and counted."""
+    from neurad_tpu.ops.gaussian_rasterize import rasterize_lidar_points_tiled
+
+    means = jnp.array([[10.0, 0.0, 0.0]])
+    covs = quat_scale_to_covariance(ID_QUAT[None], jnp.full((1, 3), 0.5))
+    proj = project_gaussians_lidar(means, covs, jnp.eye(4))
+    feats = jnp.ones((1, 2))
+    opac = jnp.array([0.9])
+    # 6 points in the SAME tile, capacity 4
+    pts = jnp.stack([
+        jnp.full((6,), 0.3), jnp.full((6,), 0.3), jnp.full((6,), 10.0), jnp.zeros((6,))
+    ], axis=-1)
+    out = rasterize_lidar_points_tiled(proj, feats, opac, pts, pts_per_tile=4, max_per_tile=8)
+    assert int(out["points_overflowed"]) == 2
+    # the first 4 points composit normally, overflow rows are zero
+    alphas = np.asarray(out["alpha"][:, 0])
+    assert (alphas > 0.5).sum() == 4 and (alphas == 0.0).sum() == 2
