@@ -133,25 +133,31 @@ def main():
         jnp.zeros((M,)),
     ], axis=-1)
 
-    def lidar_loss(means, scales, i):
-        covars = G.quat_scale_to_covariance(quats, jnp.exp(scales))
-        proj = G.project_gaussians_lidar(means + i * 1e-4, covars, jnp.eye(4))
-        out = GR.rasterize_lidar_points(proj, feats, opac, pts, max_per_tile=128)
-        return jnp.sum(out["features"] ** 2) + jnp.sum(out["alpha_sum_until_points"])
+    def make_lidar(raster_fn, **kw):
+        def lidar_loss(means, scales, i):
+            covars = G.quat_scale_to_covariance(quats, jnp.exp(scales))
+            proj = G.project_gaussians_lidar(means + i * 1e-4, covars, jnp.eye(4))
+            out = raster_fn(proj, feats, opac, pts, max_per_tile=128, **kw)
+            return jnp.sum(out["features"] ** 2) + jnp.sum(out["alpha_sum_until_points"])
 
-    gl = jax.grad(lidar_loss, argnums=(0, 1))
+        gl = jax.grad(lidar_loss, argnums=(0, 1))
 
-    @jax.jit
-    def lidar_fb(means, scales):
-        def body(i, s):
-            gm, gs = gl(means, scales, i)
-            return s + jnp.sum(gm) + jnp.sum(gs)
-        return jax.lax.fori_loop(0, K_CHAIN, body, jnp.float32(0))
+        @jax.jit
+        def lidar_fb(means, scales):
+            def body(i, s):
+                gm, gs = gl(means, scales, i)
+                return s + jnp.sum(gm) + jnp.sum(gs)
+            return jax.lax.fori_loop(0, K_CHAIN, body, jnp.float32(0))
+        return lidar_fb
 
-    try:
-        report("lidar fwd+bwd (65k pts)", timeit(lidar_fb, means, scales))
-    except Exception as e:
-        print(f"  lidar fwd+bwd FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
+    for name, fn, kw in (
+        ("lidar fwd+bwd per-point (65k pts)", GR.rasterize_lidar_points, {}),
+        ("lidar fwd+bwd tiled (65k pts, default)", GR.rasterize_lidar_points_tiled, {"pts_per_tile": 128}),
+    ):
+        try:
+            report(name, timeit(make_lidar(fn, **kw), means, scales))
+        except Exception as e:
+            print(f"  {name} FAILED: {type(e).__name__}: {str(e)[:160]}", flush=True)
 
     print("done", flush=True)
 

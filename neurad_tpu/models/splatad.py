@@ -524,7 +524,7 @@ class SplatADModel(nn.Module):
             ),
             **reg,
         }
-        for k in ("binning_dropped_pairs", "binning_cropped_gaussians"):
+        for k in ("binning_dropped_pairs", "binning_cropped_gaussians", "points_overflowed"):
             if k in outputs:
                 metrics[k] = outputs[k]
         return total, metrics
