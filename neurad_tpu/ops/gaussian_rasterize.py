@@ -425,6 +425,115 @@ def rasterize_lidar_points(
     }
 
 
+def _lidar_composite_xla(
+    wrap, depth_eps, compute_until,
+    pts_c, vmask, g_means, g_vel, g_con, g_op, g_feat, g_dep, g_dvel, tv,
+):
+    """Lidar tile-slot compositing, pure XLA math (autodiff-able).
+
+    pts_c [T,P,>=4] (azim, elev, gt_depth, time); vmask [T,P]; gaussian arrays
+    [T,K,...]; tv [T,K]. Returns (feat, depth, acc, alpha_until, median)."""
+    # masks may arrive as bool (xla path) or float32 (hybrid custom-VJP path:
+    # float inputs keep the cotangent pytree all-float, avoiding float0 leaves)
+    tv = tv if tv.dtype == jnp.bool_ else tv > 0
+    vmask = vmask if vmask.dtype == jnp.bool_ else vmask > 0
+    t_pt = pts_c[..., 3]  # [T, P]
+    mu = g_means[:, None] + g_vel[:, None] * t_pt[..., None, None]  # [T,P,K,2]
+    d = pts_c[..., None, :2] - mu
+    if wrap:
+        d_az = jnp.mod(d[..., 0] + 180.0, 360.0) - 180.0
+        d = jnp.stack([d_az, d[..., 1]], axis=-1)
+    d = d.astype(jnp.bfloat16)
+    con = g_con[:, None].astype(jnp.bfloat16)
+    sigma = (
+        0.5 * (con[..., 0] * d[..., 0] ** 2 + con[..., 2] * d[..., 1] ** 2)
+        + con[..., 1] * d[..., 0] * d[..., 1]
+    ).astype(jnp.float32)
+    alpha = jnp.clip(g_op[:, None] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0)), 0.0, 0.999)
+    alpha = jnp.where(tv[:, None] & (alpha >= 1.0 / 255.0) & vmask[..., None], alpha, 0.0)
+    one_minus = 1.0 - alpha
+    trans = jnp.concatenate(
+        [jnp.ones_like(one_minus[..., :1]), jnp.cumprod(one_minus, axis=-1)[..., :-1]], axis=-1
+    )
+    w = alpha * trans  # [T, P, K]
+    g_depth = g_dep[:, None] + g_dvel[:, None] * t_pt[..., None]  # [T,P,K]
+    feat = jnp.einsum("tpk,tkc->tpc", w, g_feat)  # MXU contraction
+    depth = jnp.sum(w * g_depth, axis=-1, keepdims=True)
+    acc = jnp.sum(w, axis=-1, keepdims=True)
+    cum_w = jnp.cumsum(w, axis=-1)
+    med_idx = jnp.argmax(cum_w >= 0.5 * acc, axis=-1)
+    median_depth = jnp.take_along_axis(g_depth, med_idx[..., None], axis=-1)
+    if compute_until:
+        before = g_depth < (pts_c[..., None, 2] - depth_eps)
+        alpha_until = jnp.sum(jnp.where(before, w, 0.0), axis=-1, keepdims=True)
+    else:
+        alpha_until = jnp.zeros_like(acc)
+    return feat, depth, acc, alpha_until, median_depth
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _hybrid_lidar_composite(
+    wrap, depth_eps, compute_until, tile_chunk,
+    pts_slot, vmask, g_means, g_vel, g_con, g_op, g_feat, g_dep, g_dvel, tv,
+):
+    """Lidar slot compositing: XLA forward (vectorized cumprod, chunked over
+    tiles with NO checkpoint — the backward never recomputes it) + the fused
+    Pallas backward (`pallas_composite.run_lidar_bwd`), the same hybrid split
+    that won the camera compositor A/B on v5e. Median depth is eval-only and
+    gradient-free."""
+    return _hybrid_lidar_fwd_impl(
+        wrap, depth_eps, compute_until, tile_chunk,
+        pts_slot, vmask, g_means, g_vel, g_con, g_op, g_feat, g_dep, g_dvel, tv,
+    )
+
+
+def _hybrid_lidar_fwd_impl(wrap, depth_eps, compute_until, tile_chunk, pts_slot, vmask,
+                           g_means, g_vel, g_con, g_op, g_feat, g_dep, g_dvel, tv):
+    t_total = pts_slot.shape[0]
+    pad = (-t_total) % tile_chunk
+
+    def padded(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0) if pad else x
+
+    def chunk_fn(args):
+        return _lidar_composite_xla(wrap, depth_eps, compute_until, *args)
+
+    args = tuple(
+        padded(x).reshape((-1, tile_chunk) + x.shape[1:])
+        for x in (pts_slot, vmask, g_means, g_vel, g_con, g_op, g_feat, g_dep, g_dvel, tv)
+    )
+    outs = jax.lax.map(chunk_fn, args)
+    return tuple(o.reshape((-1,) + o.shape[2:])[:t_total] for o in outs)
+
+
+def _hybrid_lidar_fwd(wrap, depth_eps, compute_until, tile_chunk, pts_slot, vmask,
+                      g_means, g_vel, g_con, g_op, g_feat, g_dep, g_dvel, tv):
+    out = _hybrid_lidar_fwd_impl(
+        wrap, depth_eps, compute_until, tile_chunk,
+        pts_slot, vmask, g_means, g_vel, g_con, g_op, g_feat, g_dep, g_dvel, tv,
+    )
+    return out, (pts_slot, vmask, g_means, g_vel, g_con, g_op, g_feat, g_dep, g_dvel, tv)
+
+
+def _hybrid_lidar_bwd(wrap, depth_eps, compute_until, tile_chunk, res, cots):
+    from neurad_tpu.ops.pallas_composite import run_lidar_bwd
+
+    pts_slot, vmask, g_means, g_vel, g_con, g_op, g_feat, g_dep, g_dvel, tv = res
+    gf, gd, ga, gu, _gmed = cots  # median cotangent intentionally dropped
+    d_means, d_vel, d_con, d_opac, d_feats, d_depth, d_dvel = run_lidar_bwd(
+        wrap, depth_eps, pts_slot, vmask, g_means, g_vel, g_con, g_op, g_feat, g_dep, g_dvel,
+        tv, gf, gd, ga, gu,
+    )
+    zeros = jnp.zeros_like
+    return (
+        zeros(pts_slot), zeros(vmask), d_means, d_vel, d_con, d_opac, d_feats,
+        d_depth, d_dvel, zeros(tv),
+    )
+
+
+_hybrid_lidar_composite.defvjp(_hybrid_lidar_fwd, _hybrid_lidar_bwd)
+
+
 def rasterize_lidar_points_tiled(
     projected: Projected,
     features: jnp.ndarray,
@@ -440,6 +549,7 @@ def rasterize_lidar_points_tiled(
     depth_eps: float = 0.4,
     pts_per_tile: int = 128,
     tile_chunk: int = 512,
+    backend: str = "hybrid",  # 'hybrid' (XLA fwd + fused Pallas bwd) | 'xla' (autodiff)
 ) -> dict:
     """Tile-grouped lidar rasterization — the TPU fast path.
 
@@ -498,57 +608,41 @@ def rasterize_lidar_points_tiled(
 
     opac = opacities * projected.compensations
 
-    def tile_fn(args):
-        tg, tv, pts_c, vmask = args  # [Tc,K] [Tc,K] [Tc,P,4+] [Tc,P]
-        g_means = projected.means2d[tg]  # [Tc, K, 2]
-        g_vel = projected.vel2d[tg]
-        g_con = projected.conics[tg]
-        g_dep = projected.depths[tg]
-        g_dvel = projected.depth_vel[tg]
-        g_op = opac[tg]
-        g_feat = features[tg]  # [Tc, K, C]
-        t_pt = pts_c[..., 3]  # [Tc, P]
-        mu = g_means[:, None] + g_vel[:, None] * t_pt[..., None, None]  # [Tc,P,K,2]
-        d = pts_c[..., None, :2] - mu
-        if wrap:
-            d_az = jnp.mod(d[..., 0] + 180.0, 360.0) - 180.0
-            d = jnp.stack([d_az, d[..., 1]], axis=-1)
-        d = d.astype(jnp.bfloat16)
-        con = g_con[:, None].astype(jnp.bfloat16)
-        sigma = (
-            0.5 * (con[..., 0] * d[..., 0] ** 2 + con[..., 2] * d[..., 1] ** 2)
-            + con[..., 1] * d[..., 0] * d[..., 1]
-        ).astype(jnp.float32)
-        alpha = jnp.clip(g_op[:, None] * jnp.exp(-jnp.clip(sigma, 0.0, 50.0)), 0.0, 0.999)
-        alpha = jnp.where(tv[:, None] & (alpha >= 1.0 / 255.0) & vmask[..., None], alpha, 0.0)
-        one_minus = 1.0 - alpha
-        trans = jnp.concatenate(
-            [jnp.ones_like(one_minus[..., :1]), jnp.cumprod(one_minus, axis=-1)[..., :-1]], axis=-1
-        )
-        w = alpha * trans  # [Tc, P, K]
-        g_depth = g_dep[:, None] + g_dvel[:, None] * t_pt[..., None]  # [Tc,P,K]
-        feat = jnp.einsum("tpk,tkc->tpc", w, g_feat)  # MXU contraction
-        depth = jnp.sum(w * g_depth, axis=-1, keepdims=True)
-        acc = jnp.sum(w, axis=-1, keepdims=True)
-        cum_w = jnp.cumsum(w, axis=-1)
-        med_idx = jnp.argmax(cum_w >= 0.5 * acc, axis=-1)
-        median_depth = jnp.take_along_axis(g_depth, med_idx[..., None], axis=-1)
-        if compute_alpha_sum_until_points:
-            before = g_depth < (pts_c[..., None, 2] - depth_eps)
-            alpha_until = jnp.sum(jnp.where(before, w, 0.0), axis=-1, keepdims=True)
-        else:
-            alpha_until = jnp.zeros_like(acc)
-        return feat, depth, acc, alpha_until, median_depth
-
     pad = (-t_total) % tile_chunk
     def padded(x):
         return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0) if pad else x
 
-    tg = padded(binning.tile_gauss).reshape(-1, tile_chunk, k)
-    tv = padded(binning.tile_valid).reshape(-1, tile_chunk, k)
-    pc = padded(pts_slot).reshape(-1, tile_chunk, p, pts_slot.shape[-1])
-    vm = padded(valid_slot).reshape(-1, tile_chunk, p)
-    feat, depth, acc, alpha_until, med = jax.lax.map(jax.checkpoint(tile_fn), (tg, tv, pc, vm))
+    if backend == "hybrid" and jax.default_backend() == "cpu" and t_total > 64:
+        # Pallas interpret mode at real tile counts is minutes-slow on the CPU
+        # mesh; the XLA autodiff backward is the same math (ops tests cover the
+        # kernel in interpret mode at small shapes)
+        backend = "xla"
+    if backend == "hybrid":
+        # gathers once at [T, K] (they double as the custom-VJP residuals);
+        # XLA forward + fused Pallas backward (ops/pallas_composite)
+        tg = binning.tile_gauss
+        feat, depth, acc, alpha_until, med = _hybrid_lidar_composite(
+            wrap, depth_eps, compute_alpha_sum_until_points, tile_chunk,
+            pts_slot, valid_slot.astype(jnp.float32),
+            projected.means2d[tg], projected.vel2d[tg], projected.conics[tg],
+            opac[tg], features[tg], projected.depths[tg], projected.depth_vel[tg],
+            binning.tile_valid.astype(jnp.float32),
+        )
+    else:
+        def tile_fn(args):
+            tg, tv, pts_c, vmask = args  # [Tc,K] [Tc,K] [Tc,P,4+] [Tc,P]
+            return _lidar_composite_xla(
+                wrap, depth_eps, compute_alpha_sum_until_points,
+                pts_c, vmask,
+                projected.means2d[tg], projected.vel2d[tg], projected.conics[tg],
+                opac[tg], features[tg], projected.depths[tg], projected.depth_vel[tg], tv,
+            )
+
+        tg = padded(binning.tile_gauss).reshape(-1, tile_chunk, k)
+        tv = padded(binning.tile_valid).reshape(-1, tile_chunk, k)
+        pc = padded(pts_slot).reshape(-1, tile_chunk, p, pts_slot.shape[-1])
+        vm = padded(valid_slot).reshape(-1, tile_chunk, p)
+        feat, depth, acc, alpha_until, med = jax.lax.map(jax.checkpoint(tile_fn), (tg, tv, pc, vm))
 
     cdim = features.shape[-1]
     # slot of each ORIGINAL point (overflow -> padded zero row)

@@ -355,3 +355,169 @@ def _hybrid_bwd(compute_dtype, res, cotangents):
 
 
 hybrid_tile_composite.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Lidar variant: same fused backward, extended with (a) circular azimuth wrap,
+# (b) the line-of-sight term alpha_until = sum_k w_k [d_k < gt - eps] whose
+# cotangent folds into the per-gaussian payload grad g_k, (c) per-slot query
+# validity. The forward stays XLA (vectorized cumprod wins there, same A/B as
+# the camera path); median depth is eval-only and deliberately gradient-free
+# (the reference's lidar losses never differentiate through the median either,
+# `splatad.py:1356-1432`).
+# ---------------------------------------------------------------------------
+
+
+def _make_lidar_bwd_kernel(wrap: bool, depth_eps: float):
+    def kernel(pix_ref, times_ref, gattr_ref, feats_ref, gf_ref, gd_ref, ga_ref, gu_ref,
+               dgattr_ref, dfeats_ref):
+        pix_x = pix_ref[0, 0, :]  # [P] azimuth (deg)
+        pix_y = pix_ref[0, 1, :]  # elevation
+        gt = pix_ref[0, 2, :]  # gt depth
+        vmask = pix_ref[0, 3, :]  # slot validity
+        t = times_ref[0, 0, :]
+        ga = gattr_ref[0]  # [11, K]
+        mean_x, mean_y = ga[0][:, None], ga[1][:, None]
+        vel_x, vel_y = ga[2][:, None], ga[3][:, None]
+        con_a, con_b, con_c = ga[4][:, None], ga[5][:, None], ga[6][:, None]
+        opac, depth, dvel, valid = ga[7][:, None], ga[8][:, None], ga[9][:, None], ga[10][:, None]
+
+        dx = pix_x[None, :] - (mean_x + vel_x * t[None, :])  # [K, P]
+        if wrap:
+            # circular azimuth; derivative is 1 a.e. so gradients pass through
+            dx = jnp.mod(dx + 180.0, 360.0) - 180.0
+        dy = pix_y[None, :] - (mean_y + vel_y * t[None, :])
+        sigma_raw = 0.5 * (con_a * dx * dx + con_c * dy * dy) + con_b * dx * dy
+        sigma = jnp.clip(sigma_raw, 0.0, 50.0)
+        alpha_pre = opac * jnp.exp(-sigma)
+        gate = (valid > 0) & (alpha_pre >= 1.0 / 255.0) & (vmask[None, :] > 0)
+        alpha = jnp.where(gate, jnp.clip(alpha_pre, 0.0, 0.999), 0.0)  # [K, P]
+        dgate = (gate & (alpha_pre < 0.999) & (sigma_raw > 0.0) & (sigma_raw < 50.0)).astype(jnp.float32)
+
+        g_depth_kp = depth + dvel * t[None, :]  # [K, P]
+        before = (g_depth_kp < (gt[None, :] - depth_eps)).astype(jnp.float32)
+        gd = gd_ref[0, 0, :]  # [P]
+        ga_cot = ga_ref[0, 0, :]
+        gu = gu_ref[0, 0, :]
+
+        k_total, p = alpha.shape
+
+        def scoped(alpha_sc, g_sc, w_sc, tg_sc, pref_sc):
+            alpha_sc[:] = alpha
+            g_sc[:] = (
+                jax.lax.dot_general(
+                    feats_ref[0], gf_ref[0],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + g_depth_kp * gd[None, :]
+                + ga_cot[None, :]
+                + before * gu[None, :]
+            )
+
+            def body(k, carry):
+                trans, prefix = carry
+                a_k = alpha_sc[pl.ds(k, 1), :][0]
+                g_k = g_sc[pl.ds(k, 1), :][0]
+                w_k = a_k * trans
+                prefix = prefix + w_k * g_k
+                w_sc[pl.ds(k, 1), :] = w_k[None, :]
+                tg_sc[pl.ds(k, 1), :] = (trans * g_k)[None, :]
+                pref_sc[pl.ds(k, 1), :] = prefix[None, :]
+                trans = trans * (1.0 - a_k)
+                return trans, prefix
+
+            _, total = jax.lax.fori_loop(
+                0, k_total, body, (jnp.ones((p,), jnp.float32), jnp.zeros((p,), jnp.float32))
+            )
+
+            w = w_sc[:]
+            suffix = total[None, :] - pref_sc[:]
+            d_alpha = (tg_sc[:] - suffix / (1.0 - alpha)) * dgate
+
+            d_sigma = -alpha * d_alpha
+            exp_neg = jnp.exp(-sigma)
+            ddx = d_sigma * (con_a * dx + con_b * dy)
+            ddy = d_sigma * (con_c * dy + con_b * dx)
+            w_gd = w * gd[None, :]
+
+            red = lambda x: jnp.sum(x, axis=-1, keepdims=True)
+            dgattr_ref[0, :, 0:1] = -red(ddx)
+            dgattr_ref[0, :, 1:2] = -red(ddy)
+            dgattr_ref[0, :, 2:3] = -red(ddx * t[None, :])
+            dgattr_ref[0, :, 3:4] = -red(ddy * t[None, :])
+            dgattr_ref[0, :, 4:5] = red(0.5 * dx * dx * d_sigma)
+            dgattr_ref[0, :, 5:6] = red(dx * dy * d_sigma)
+            dgattr_ref[0, :, 6:7] = red(0.5 * dy * dy * d_sigma)
+            dgattr_ref[0, :, 7:8] = red(d_alpha * exp_neg)
+            dgattr_ref[0, :, 8:9] = red(w_gd)
+            dgattr_ref[0, :, 9:10] = red(w_gd * t[None, :])
+
+            dfeats_ref[0] = jax.lax.dot_general(
+                w, gf_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        pl.run_scoped(
+            scoped,
+            alpha_sc=pltpu.VMEM((k_total, p), jnp.float32),
+            g_sc=pltpu.VMEM((k_total, p), jnp.float32),
+            w_sc=pltpu.VMEM((k_total, p), jnp.float32),
+            tg_sc=pltpu.VMEM((k_total, p), jnp.float32),
+            pref_sc=pltpu.VMEM((k_total, p), jnp.float32),
+        )
+
+    return kernel
+
+
+def run_lidar_bwd(wrap, depth_eps, pts_slot, vmask, means, vel, conics, opac, feats, depth, dvel,
+                  valid, g_feat, g_depth, g_alpha, g_until):
+    """[T,...] tiled lidar inputs + cotangents -> per-tile-gaussian grads.
+
+    pts_slot [T, P, >=4] (azim, elev, gt_depth, time); vmask [T, P] slot
+    validity. Returns (d_means, d_vel, d_con, d_opac, d_feats, d_depth, d_dvel)
+    in [T, K, ...] layouts.
+    """
+    t_total, p = pts_slot.shape[0], pts_slot.shape[1]
+    k = means.shape[1]
+    c = feats.shape[-1]
+
+    pix_kp = jnp.stack(
+        [pts_slot[..., 0], pts_slot[..., 1], pts_slot[..., 2], vmask.astype(jnp.float32)], axis=1
+    )  # [T, 4, P]
+    times_kp = pts_slot[..., 3][:, None, :]  # [T, 1, P]
+    gattr = jnp.stack(
+        [
+            means[..., 0], means[..., 1], vel[..., 0], vel[..., 1],
+            conics[..., 0], conics[..., 1], conics[..., 2],
+            opac, depth, dvel, valid.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [T, 11, K]
+    feats_pad = jnp.pad(feats, ((0, 0), (0, 0), (0, _C_PAD - c)))
+    gf_pad = jnp.pad(g_feat, ((0, 0), (0, 0), (0, _C_PAD - c)))
+    gd_kp = jnp.swapaxes(g_depth, 1, 2)
+    ga_kp = jnp.swapaxes(g_alpha, 1, 2)
+    gu_kp = jnp.swapaxes(g_until, 1, 2)
+
+    spec = lambda last: pl.BlockSpec((1,) + last, lambda i: (i,) + (0,) * len(last), memory_space=pltpu.VMEM)
+    dgattr, dfeats = pl.pallas_call(
+        _make_lidar_bwd_kernel(wrap, depth_eps),
+        grid=(t_total,),
+        in_specs=[
+            spec((4, p)), spec((1, p)), spec((11, k)), spec((k, _C_PAD)),
+            spec((p, _C_PAD)), spec((1, p)), spec((1, p)), spec((1, p)),
+        ],
+        out_specs=[spec((k, _C_PAD)), spec((k, _C_PAD))],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, k, _C_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((t_total, k, _C_PAD), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(pix_kp, times_kp, gattr, feats_pad, gf_pad, gd_kp, ga_kp, gu_kp)
+
+    return (
+        dgattr[..., 0:2], dgattr[..., 2:4], dgattr[..., 4:7], dgattr[..., 7],
+        dfeats[..., :c], dgattr[..., 8], dgattr[..., 9],
+    )
