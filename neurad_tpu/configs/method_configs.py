@@ -249,6 +249,13 @@ _REGISTRY: Dict[str, Callable[[], MethodConfig]] = {
 
 def get_method_config(name: str) -> MethodConfig:
     if name not in _REGISTRY:
+        # known external methods get install instructions instead of a bare
+        # unknown-method error (`configs/external_methods.py`)
+        from neurad_tpu.configs.external_methods import get_external_methods
+
+        ext = get_external_methods()
+        if name in ext:
+            raise KeyError(f"method {name!r} is an external method.\n{ext[name].instructions}")
         raise KeyError(f"unknown method {name!r}; available: {sorted(_REGISTRY)}")
     return _REGISTRY[name]()
 

@@ -114,23 +114,44 @@ def bin_gaussians(
     in_rect = (slot[None, :] < (wx * wy)[:, None]) & valid_g[:, None]
     tile_id = jnp.where(in_rect, tile_y * ntx + tile_x, t_total)  # sentinel = t_total
 
-    flat_tiles = tile_id.reshape(-1)  # [N*C], depth-ordered within equal tiles
-    flat_gauss = jnp.broadcast_to(order[:, None], (n, c)).reshape(-1)
+    import math
 
-    # one stable sort carrying the payload: saves two N*C-row gathers vs
-    # argsort + indexing (the binning sort is the rasterizer's hottest op)
-    sorted_tiles, sorted_gauss = jax.lax.sort_key_val(flat_tiles, flat_gauss, is_stable=True)
-
-    # per-tile segment [start, end)
-    tile_range = jnp.arange(t_total, dtype=flat_tiles.dtype)
-    starts = jnp.searchsorted(sorted_tiles, tile_range, side="left")
-    ends = jnp.searchsorted(sorted_tiles, tile_range, side="right")
-
+    rank_bits = max(1, math.ceil(math.log2(max(n, 2))))
+    tile_bits = max(1, math.ceil(math.log2(t_total + 2)))
     k = max_per_tile
-    gather_idx = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]  # [T, K]
-    tile_valid = gather_idx < ends[:, None]
-    gather_idx = jnp.clip(gather_idx, 0, sorted_gauss.shape[0] - 1)
-    tile_gauss = sorted_gauss[gather_idx]
+    if rank_bits + tile_bits <= 31:
+        # PACKED-KEY path: (tile_id << rank_bits) | depth_rank in one int31 —
+        # a payload-free UNSTABLE sort is 3x the stable key-val sort on v5e
+        # (7.4 ms vs 21.7 ms at 8M pairs); the rank bits both carry the
+        # payload and make keys unique, so unstable == stable here, and the
+        # per-tile order stays front-to-back by construction.
+        rank = jnp.arange(n, dtype=jnp.int32)  # position in depth order
+        flat_keys = (tile_id << rank_bits | rank[:, None]).reshape(-1)
+        sorted_keys = jax.lax.sort(flat_keys, is_stable=False)
+        bounds = (jnp.arange(t_total + 1, dtype=jnp.int32) << rank_bits)
+        edges = jnp.searchsorted(sorted_keys, bounds, side="left")
+        starts, ends = edges[:-1], edges[1:]
+        gather_idx = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]  # [T, K]
+        tile_valid = gather_idx < ends[:, None]
+        gather_idx = jnp.clip(gather_idx, 0, sorted_keys.shape[0] - 1)
+        tile_gauss = order[sorted_keys[gather_idx] & ((1 << rank_bits) - 1)]
+    else:
+        flat_tiles = tile_id.reshape(-1)  # [N*C], depth-ordered within equal tiles
+        flat_gauss = jnp.broadcast_to(order[:, None], (n, c)).reshape(-1)
+
+        # one stable sort carrying the payload: saves two N*C-row gathers vs
+        # argsort + indexing (the binning sort is the rasterizer's hottest op)
+        sorted_tiles, sorted_gauss = jax.lax.sort_key_val(flat_tiles, flat_gauss, is_stable=True)
+
+        # per-tile segment [start, end)
+        tile_range = jnp.arange(t_total, dtype=flat_tiles.dtype)
+        starts = jnp.searchsorted(sorted_tiles, tile_range, side="left")
+        ends = jnp.searchsorted(sorted_tiles, tile_range, side="right")
+
+        gather_idx = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]  # [T, K]
+        tile_valid = gather_idx < ends[:, None]
+        gather_idx = jnp.clip(gather_idx, 0, sorted_gauss.shape[0] - 1)
+        tile_gauss = sorted_gauss[gather_idx]
     dropped = jnp.sum(jnp.maximum(ends - starts - k, 0))
     return TileBinning(
         tile_gauss=tile_gauss,
