@@ -44,8 +44,9 @@ class HashEncoding(nn.Module):
         self.table_size = max(2**self.log2_hashmap_size // packing, 1)
         scales_np = he.level_scales(self.num_levels, self.min_res, self.max_res)
         self.scales = jnp.asarray(scales_np)
-        # per-level tables, dense-sized for coarse levels (see ops/hash_encoding)
-        _, self.dense_res = he.level_rows(
+        # per-level tables, dense-sized for coarse levels + bucket-packed rows
+        # for big levels (see ops/hash_encoding)
+        _, self.dense_res, self.bucket_pack = he.level_layout(
             scales_np, self.n_input_dims, self.table_size, self.cell_packed
         )
         self.hash_table = self.param(
@@ -60,17 +61,17 @@ class HashEncoding(nn.Module):
         if isinstance(positions, GaussiansStd):
             return he.hash_encode_gaussians(
                 positions.mean, positions.std, self.hash_table, self.scales,
-                cell_packed=self.cell_packed, dense_res=self.dense_res,
+                cell_packed=self.cell_packed, dense_res=self.dense_res, bucket_pack=self.bucket_pack,
             )
         return he.hash_encode(
             positions, self.hash_table, self.scales, cell_packed=self.cell_packed,
-            dense_res=self.dense_res,
+            dense_res=self.dense_res, bucket_pack=self.bucket_pack,
         )
 
     def encode_with_level_weights(self, positions: jnp.ndarray, level_weights: Optional[jnp.ndarray]) -> jnp.ndarray:
         return he.hash_encode(
             positions, self.hash_table, self.scales, level_weights=level_weights,
-            cell_packed=self.cell_packed, dense_res=self.dense_res,
+            cell_packed=self.cell_packed, dense_res=self.dense_res, bucket_pack=self.bucket_pack,
         )
 
 

@@ -100,7 +100,7 @@ class NeuRADHashEncoding(nn.Module):
         self.static_scales = jnp.asarray(static_scales_np)
         # per-level tables: dense-sized coarse levels + independent per-level
         # gradient scatters (see ops/hash_encoding.init_hash_tables)
-        _, self.static_dense_res = he.level_rows(
+        _, self.static_dense_res, self.static_pack = he.level_layout(
             static_scales_np, 3, self.static_table_size, s.cell_packed
         )
         self.static_table = self.param(
@@ -113,7 +113,7 @@ class NeuRADHashEncoding(nn.Module):
         self.actor_table_size = max(2**a.log2_hashmap_size // (16 if a.cell_packed else 1), 1)
         actor_scales_np = he.level_scales(a.num_levels, a.base_res, a.max_res)
         self.actor_scales = jnp.asarray(actor_scales_np)
-        _, self.actor_dense_res = he.level_rows(
+        _, self.actor_dense_res, self.actor_pack = he.level_layout(
             actor_scales_np, 4, self.actor_table_size, a.cell_packed
         )
         self.actor_table = self.param(
@@ -138,7 +138,7 @@ class NeuRADHashEncoding(nn.Module):
         static_g = scaled_scene_contraction_gaussian(positions, self.static_scale)
         features = he.hash_encode_gaussians(
             static_g.mean, static_g.std, self.static_table, self.static_scales,
-            cell_packed=self.static.cell_packed, dense_res=self.static_dense_res,
+            cell_packed=self.static.cell_packed, dense_res=self.static_dense_res, bucket_pack=self.static_pack,
         )  # [R, S, L*F]
 
         if self.disable_actors or self.actors.n_actors == 0:
@@ -229,14 +229,13 @@ class NeuRADHashEncoding(nn.Module):
         )
         r, s = hit.shape
         if self.actor_compaction > 0 and r * s > 256:
-            # compacted lookup: gather the (at most) capacity samples that hit
-            # an actor box, encode only those, and scatter the MERGED rows into
-            # the feature buffer directly. Merging in compacted space (cap
-            # rows) instead of scattering into dense zero-buffers + covered
-            # mask + dense where() saves ~15 ms/step of [R*S, F] scatter-set
-            # fusions (round-2 trace). Overflowed hits (beyond cap) are not in
-            # top_idx, so their rows keep STATIC features — the correct
-            # fallback.
+            # compacted lookup: gather the (at most) capacity samples that hit an
+            # actor box, encode only those, scatter features back densely.
+            # NOTE round-2 A/B (benchmarks, fwd+bwd at train shapes): this
+            # narrow-zeros-set + covered + where pattern runs 7.1 ms vs 49.7 ms
+            # for the "obvious" gather-merge-scatter-set alternative — XLA
+            # gives the [R*S, F] scatter-set a pathological transposed tiling
+            # when its input is the live feature buffer.
             cap = max(128, (r * s) // self.actor_compaction)
             flat_hit = hit.reshape(-1)
             flat_mean4 = mean4.reshape(r * s, *mean4.shape[2:])
@@ -244,20 +243,30 @@ class NeuRADHashEncoding(nn.Module):
             _, top_idx = jax.lax.top_k(flat_hit.astype(jnp.float32), cap)
             sel_feats = he.hash_encode_gaussians(
                 flat_mean4[top_idx], flat_std[top_idx], self.actor_table, self.actor_scales,
-                cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res,
+                cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res, bucket_pack=self.actor_pack,
             )  # [cap, La*Fa]
-            pad = self.out_dim - sel_feats.shape[-1]
-            if pad > 0:
-                sel_feats = jnp.pad(sel_feats, [(0, 0), (0, pad)])
-            flat_features = features.reshape(r * s, features.shape[-1])
-            sel_merged = jnp.where(flat_hit[top_idx][:, None], sel_feats, flat_features[top_idx])
-            features = flat_features.at[top_idx].set(sel_merged).reshape(r, s, -1)
-            return features, directions
+            actor_feats = (
+                jnp.zeros((r * s, sel_feats.shape[-1]), sel_feats.dtype)
+                .at[top_idx]
+                .set(sel_feats)
+                .reshape(r, s, -1)
+            )
+            # On overflow (> cap box hits) the dropped samples must keep their
+            # STATIC features, not all-zero rows: restrict the merge mask to
+            # samples the capacity set actually covered.
+            covered = (
+                jnp.zeros((r * s,), jnp.bool_)
+                .at[top_idx]
+                .set(flat_hit[top_idx])
+                .reshape(r, s)
+            )
+            hit = hit & covered
+        else:
+            actor_feats = he.hash_encode_gaussians(
+                mean4, actor_g.std, self.actor_table, self.actor_scales,
+                cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res, bucket_pack=self.actor_pack,
+            )  # [R, S, La*Fa]
 
-        actor_feats = he.hash_encode_gaussians(
-            mean4, actor_g.std, self.actor_table, self.actor_scales,
-            cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res,
-        )  # [R, S, La*Fa]
         pad = self.out_dim - actor_feats.shape[-1]
         if pad > 0:
             actor_feats = jnp.pad(actor_feats, [(0, 0)] * (actor_feats.ndim - 1) + [(0, pad)])

@@ -58,6 +58,33 @@ def init_hash_table(
     return (jax.random.uniform(key, shape, minval=-1.0, maxval=1.0) * scale).astype(jnp.float32)
 
 
+# XLA's gather on v5e falls off a cliff once the operand exceeds ~400k ROWS
+# (measured: 467 M rows/s at [393216, 64] = 50 MB, 88 M rows/s at [524288, 64]
+# — row count, NOT bytes, is the threshold). Levels with more buckets than
+# this pack `bucket_pack` buckets per physical row and select the sub-row
+# after the gather; scatter-add is row-width-free so the backward is unharmed.
+_FAST_GATHER_MAX_ROWS = 2**18
+
+
+def level_layout(
+    scales: "np.ndarray", d: int, max_rows: int, cell_packed: bool
+) -> Tuple[Tuple[int, ...], Tuple[Optional[int], ...], Tuple[int, ...]]:
+    """Per-level (buckets, dense_res, bucket_pack).
+
+    buckets = logical table entries (tcnn sizing rule, see `level_rows`);
+    bucket_pack = how many buckets share one physical row so the row count
+    stays under the measured v5e fast-gather threshold.
+    """
+    rows, dense = level_rows(scales, d, max_rows, cell_packed)
+    packs = []
+    for r in rows:
+        pack = 1
+        while r // pack > _FAST_GATHER_MAX_ROWS:
+            pack *= 2
+        packs.append(pack)
+    return rows, dense, tuple(packs)
+
+
 def level_rows(
     scales: "np.ndarray", d: int, max_rows: int, cell_packed: bool
 ) -> Tuple[Tuple[int, ...], Tuple[Optional[int], ...]]:
@@ -104,12 +131,12 @@ def init_hash_tables(
     (~480 M rows/s aggregate, measured) while assembling them into one buffer
     serializes the scatters behind dynamic-update-slices (~64 M rows/s).
     """
-    rows, _ = level_rows(scales, d, max_rows, cell_packed)
+    rows, _, packs = level_layout(scales, d, max_rows, cell_packed)
     f_row = features_per_level * ((2**d) if cell_packed else 1)
     keys = jax.random.split(key, len(rows))
     return tuple(
-        (jax.random.uniform(k, (r, f_row), minval=-1.0, maxval=1.0) * scale).astype(jnp.float32)
-        for k, r in zip(keys, rows)
+        (jax.random.uniform(k, (-(-r // p), f_row * p), minval=-1.0, maxval=1.0) * scale).astype(jnp.float32)
+        for k, r, p in zip(keys, rows, packs)
     )
 
 
@@ -258,6 +285,7 @@ def hash_encode(
     gather_dtype: Optional[jnp.dtype] = jnp.bfloat16,
     cell_packed: bool = False,
     dense_res: Optional[Tuple[Optional[int], ...]] = None,
+    bucket_pack: Optional[Tuple[int, ...]] = None,
 ) -> jnp.ndarray:
     """Multi-level hash lookup with D-linear interpolation.
 
@@ -279,6 +307,9 @@ def hash_encode(
         dense_res: per-level dense resolution (from `level_rows`); levels with a
             resolution use collision-free linear indexing like tcnn's dense
             branch. Only valid with tuple tables.
+        bucket_pack: per-level buckets-per-physical-row (from `level_layout`);
+            the tables must have been built with the same packing
+            (`init_hash_tables`). Only valid with tuple tables.
 
     Returns:
         [..., num_levels * F] encoded features (fp32).
@@ -287,7 +318,9 @@ def hash_encode(
     d = positions.shape[-1]
     n_corners = 2**d
     multi = isinstance(table, (tuple, list))
-    f_row = table[0].shape[-1] if multi else table.shape[-1]
+    if bucket_pack is None:
+        bucket_pack = (1,) * num_levels
+    f_row = (table[0].shape[-1] // bucket_pack[0]) if multi else table.shape[-1]
     f = f_row // (n_corners if cell_packed else 1)
     corners = jnp.asarray(_corner_offsets(d))  # [C, D], C = 2^D
     read_bf16 = gather_dtype is not None
@@ -299,18 +332,29 @@ def hash_encode(
     # per level of T(1,128) relayout copies at train shapes (round-2 trace);
     # recomputing the per-level scale/floor/offset is a handful of fused
     # elementwise ops and keeps every index/weight array sample-major.
-    idx_list, offsets = [], []
+    idx_list, offsets, subs = [], [], []
     for l in range(num_levels):
-        rows_l = table[l].shape[0] if multi else table_size
+        pk = bucket_pack[l]
+        buckets_l = (table[l].shape[0] * pk) if multi else table_size
         scaled = positions * scales[l]
         floor = jnp.floor(scaled)
         offsets.append(scaled - floor)  # [..., D] in [0,1)
         floor_i = floor.astype(jnp.int32)
         coords = floor_i if cell_packed else floor_i[..., None, :] + corners
         if dense_res[l] is not None:
-            idx_list.append(_dense_index(coords, dense_res[l]))
+            bucket = _dense_index(coords, dense_res[l])
         else:
-            idx_list.append(_hash(coords, rows_l))
+            bucket = _hash(coords, buckets_l)
+        if pk > 1:
+            # bucket packing: `pk` logical buckets per physical row keeps the
+            # row count under the v5e fast-gather threshold (see level_layout);
+            # the sub-row is selected after the gather.
+            row = bucket // pk
+            subs.append(bucket - row * pk)
+            idx_list.append(jnp.clip(row, 0, table[l].shape[0] - 1) if multi else row)
+        else:
+            subs.append(None)
+            idx_list.append(bucket)
 
     if multi:
         shapes = tuple(t.shape for t in table)
@@ -327,6 +371,12 @@ def hash_encode(
             axis=-1,
         )  # [..., C]
         feats = feats_per_level[l]
+        pk = bucket_pack[l]
+        if pk > 1:
+            # select the logical bucket's slice from the packed row
+            feats = feats.reshape(feats.shape[:-1] + (pk, f_row))
+            sel = jax.nn.one_hot(subs[l], pk, dtype=feats.dtype)
+            feats = jnp.sum(feats * sel[..., None], axis=-2)  # [..., F_row]
         if cell_packed:
             feats = feats.reshape(feats.shape[:-1] + (n_corners, f))  # [..., C, F]
         o = jnp.sum(feats * w[..., None], axis=-2)  # [..., F]
@@ -356,6 +406,7 @@ def hash_encode_gaussians(
     table_size: int = 0,
     cell_packed: bool = False,
     dense_res: Optional[Tuple[Optional[int], ...]] = None,
+    bucket_pack: Optional[Tuple[int, ...]] = None,
 ) -> jnp.ndarray:
     """Encode multisampled gaussians and average over multisamples
     (`neurad_encoding.py:265-268,297-304`).
@@ -369,7 +420,7 @@ def hash_encode_gaussians(
     w = gaussian_level_weights(gauss_std, scales)  # [..., M, L]
     feats = hash_encode(
         gauss_mean, table, scales, table_size, level_weights=w, cell_packed=cell_packed,
-        dense_res=dense_res,
+        dense_res=dense_res, bucket_pack=bucket_pack,
     )  # [..., M, L*F]
     return feats.mean(axis=-2)
 
