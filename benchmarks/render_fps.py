@@ -6,6 +6,9 @@ GPU). This measures the model-level render path — projection + binning +
 compositing + RGB decoder CNN — jitted, forward-only, amortized over chained
 frames with per-frame pose changes (so nothing is constant-folded).
 
+Variants: `default` = the training config; `tuned` = the inference knobs
+(max_visible_gaussians static frustum cull + max_per_tile 128).
+
 Usage: python benchmarks/render_fps.py [n_gaussians]
 """
 
@@ -55,43 +58,34 @@ def build_model(n: int, config: SplatADConfig):
         opacities_logit=rng.uniform(-1, 1, size=(n,)).astype(np.float32),
         ids=np.full((n,), 1, np.int32),  # id > n_actors-1 => static
     )
-    actors = empty_actor_data()
-    model = SplatADModel(init_data=init, actor_data=actors, config=config)
+    model = SplatADModel(init_data=init, actor_data=empty_actor_data(), config=config)
     params = model.init(jax.random.PRNGKey(0), method=SplatADModel.init_all)
     return model, params
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
-    print(f"devices: {jax.devices()}  n_gaussians={n}", flush=True)
+def run_camera(model, params, w, h, label):
+    Kmat = jnp.array([[0.7 * w, 0, w / 2], [0, 0.7 * w, h / 2], [0, 0, 1.0]])
+    c2ws = jnp.tile(jnp.eye(4)[None, :3], (K_CHAIN, 1, 1))
+    c2ws = c2ws.at[:, 0, 3].set(jnp.linspace(0.0, 2.0, K_CHAIN))
+    c2ws = c2ws.at[:, 2, 3].set(-50.0)
 
-    for w, h, label in ((720, 480, "480x720"), (1920, 1080, "1080x1920")):
-        config = SplatADConfig()
-        model, params = build_model(n, config)
-        Kmat = jnp.array([[0.7 * w, 0, w / 2], [0, 0.7 * w, h / 2], [0, 0, 1.0]])
-        # per-frame camera poses (sideways track through the scene)
-        c2ws = jnp.tile(jnp.eye(4)[None, :3], (K_CHAIN, 1, 1))
-        c2ws = c2ws.at[:, 0, 3].set(jnp.linspace(0.0, 2.0, K_CHAIN))
-        c2ws = c2ws.at[:, 2, 3].set(-50.0)
+    @jax.jit
+    def render_chain(params, c2ws):
+        def body(i, s):
+            out = model.apply(
+                params, c2ws[i], Kmat, w, h,
+                jnp.zeros(()), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                method=SplatADModel.get_camera_outputs,
+            )
+            return s + jnp.sum(out["rgb"][::97, ::97])
+        return jax.lax.fori_loop(0, K_CHAIN, body, jnp.float32(0))
 
-        @jax.jit
-        def render_chain(params, c2ws):
-            def body(i, s):
-                out = model.apply(
-                    params, c2ws[i], Kmat, w, h,
-                    jnp.zeros(()), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-                    method=SplatADModel.get_camera_outputs,
-                )
-                return s + jnp.sum(out["rgb"][::97, ::97])
-            return jax.lax.fori_loop(0, K_CHAIN, body, jnp.float32(0))
+    print(f"[render_fps] compiling camera {label}...", flush=True)
+    t = timeit(render_chain, params, c2ws)
+    print(f"  camera {label:24s}: {t*1e3:8.1f} ms/frame  = {1.0/t:6.1f} FPS", flush=True)
 
-        print(f"[render_fps] compiling camera {label}...", flush=True)
-        t = timeit(render_chain, params, c2ws)
-        print(f"  camera {label:10s}: {t*1e3:8.1f} ms/frame  = {1.0/t:6.1f} FPS", flush=True)
 
-    # lidar scan: 65k spherical query points (a Pandar64-class sweep)
-    config = SplatADConfig()
-    model, params = build_model(n, config)
+def run_lidar(model, params):
     m = 65536
     rng = np.random.default_rng(1)
     pts = np.stack([
@@ -113,7 +107,25 @@ def main():
 
     print("[render_fps] compiling lidar scan (65k pts)...", flush=True)
     t = timeit(lidar_chain, params, pts)
-    print(f"  lidar 65k pts      : {t*1e3:8.1f} ms/scan   = {1.0/t:6.1f} scans/s", flush=True)
+    print(f"  lidar 65k pts             : {t*1e3:8.1f} ms/scan   = {1.0/t:6.1f} scans/s", flush=True)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    print(f"devices: {jax.devices()}  n_gaussians={n}", flush=True)
+
+    cull = int(os.environ.get("RENDER_FPS_MAX_VISIBLE", str(128 * 1024)))
+    variants = (
+        ("default", SplatADConfig()),
+        ("tuned", SplatADConfig(max_visible_gaussians=cull, max_per_tile=128)),
+    )
+    for vname, config in variants:
+        model, params = build_model(n, config)
+        for w, h, label in ((720, 480, "480x720"), (1920, 1080, "1080x1920")):
+            run_camera(model, params, w, h, f"{label} [{vname}]")
+
+    model, params = build_model(n, SplatADConfig())
+    run_lidar(model, params)
     print("done", flush=True)
 
 

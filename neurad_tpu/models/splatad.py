@@ -199,6 +199,11 @@ class SplatADConfig:
     resolution_schedule: int = 3000
     max_per_tile: int = 256
     max_tiles_per_gaussian: int = 16
+    # static frustum-cull cap (0 = off): only the nearest `max_visible_gaussians`
+    # visible gaussians emit tile slots — shrinks the binning sort/emission by
+    # the cull ratio (overflow counted in binning_culled_visible). Mainly an
+    # inference/viewer speed knob; leave 0 for training.
+    max_visible_gaussians: int = 0
     near_plane: float = 0.5
     radius_clip_pix: float = 0.0
     eps2d: float = 0.3
@@ -378,6 +383,7 @@ class SplatADModel(nn.Module):
             rolling_shutter_time=rolling_shutter_time,
             backend=cfg.rasterize_backend,
             return_binning=True,
+            max_visible=cfg.max_visible_gaussians,
         )
 
         ray_dirs = self._ray_dirs(K, width, height, c2w)
@@ -396,6 +402,7 @@ class SplatADModel(nn.Module):
             # truncation telemetry: nonzero = the per-tile caps clipped the scene
             "binning_dropped_pairs": binning.dropped_pairs,
             "binning_cropped_gaussians": binning.cropped_gaussians,
+            "binning_culled_visible": binning.culled_visible,
         }
 
     def get_lidar_outputs(

@@ -40,6 +40,7 @@ class TileBinning(NamedTuple):
     # scenes invisibly; the reference CUDA rasterizer has no caps at all
     dropped_pairs: jnp.ndarray = jnp.int32(0)  # (tile,gauss) pairs beyond max_per_tile
     cropped_gaussians: jnp.ndarray = jnp.int32(0)  # gaussians covering > max_tiles_per_gaussian tiles
+    culled_visible: jnp.ndarray = jnp.int32(0)  # visible gaussians beyond max_visible (depth-culled)
 
 
 def bin_gaussians(
@@ -52,6 +53,7 @@ def bin_gaussians(
     max_tiles_per_gaussian: int = 16,
     max_per_tile: int = 256,
     wrap_x: bool = False,
+    max_visible: int = 0,
 ) -> TileBinning:
     """Assign gaussians to tiles, depth-ordered per tile.
 
@@ -62,6 +64,12 @@ def bin_gaussians(
     a gaussian whose footprint crosses the ±180° seam is binned into tiles on
     both sides via modulo tile indices (the reference CUDA lidar rasterizer
     bins circularly too).
+
+    max_visible (0 = off): static frustum-cull cap — only the `max_visible`
+    NEAREST visible gaussians emit tile slots. In AD scenes one camera sees a
+    fraction of the gaussians, so the slot sort/emission (the binning's cost)
+    shrinks by the cull ratio; visible gaussians beyond the cap are dropped
+    back-to-front and counted in `culled_visible`.
     """
     ntx, nty = num_tiles
     t_total = ntx * nty
@@ -70,6 +78,11 @@ def bin_gaussians(
 
     # depth order (front to back); invalid gaussians (radius 0) pushed to the back
     order = jnp.argsort(jnp.where(radii > 0, depths, jnp.inf))
+    culled_visible = jnp.int32(0)
+    if max_visible and max_visible < n:
+        culled_visible = jnp.maximum(jnp.sum(radii > 0) - max_visible, 0).astype(jnp.int32)
+        order = order[:max_visible]
+        n = max_visible
     m2 = means2d[order]
     rad = radii[order]
     valid_g = rad > 0
@@ -160,6 +173,7 @@ def bin_gaussians(
         num_tiles_y=nty,
         dropped_pairs=dropped.astype(jnp.int32),
         cropped_gaussians=cropped,
+        culled_visible=culled_visible,
     )
 
 
@@ -231,6 +245,7 @@ def rasterize_camera(
     backend: str = "xla",  # 'xla' | 'pallas' (VMEM composite) | 'hybrid' (xla fwd + pallas bwd)
     return_binning: bool = False,
     compute_dtype: jnp.dtype = jnp.bfloat16,  # xla backend's gaussian-eval dtype
+    max_visible: int = 0,
 ) -> Tuple[jnp.ndarray, ...]:
     """Rasterize projected gaussians to (features [H,W,C], depth [H,W,1],
     alpha [H,W,1]). gsplat-`rasterization` equivalent (render_mode RGB+ED)."""
@@ -245,6 +260,7 @@ def rasterize_camera(
         num_tiles=(ntx, nty),
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         max_per_tile=max_per_tile,
+        max_visible=max_visible,
     )
     t_total = ntx * nty
     p = tile_size * tile_size

@@ -93,6 +93,39 @@ def export_tsdf_mesh(pipeline, state, out_path: Path, resolution: int = 128):
     return len(verts), len(faces)
 
 
+def export_poisson_mesh(
+    pipeline, state, out_path: Path, resolution: int = 192, num_points: int = 500_000
+):
+    """Depth-render eval cameras -> oriented point cloud -> Poisson surface
+    reconstruction -> mesh (`exporter.py:261-380` ExportPoissonMesh; open3d's
+    screened Poisson replaced by the FFT indicator solve in
+    `exporter/poisson.py`)."""
+    from neurad_tpu.exporter.poisson import normals_from_depth, poisson_reconstruct
+    from neurad_tpu.exporter.tsdf import marching_tetrahedra, write_mesh_ply
+
+    pts, nrms = [], []
+    for ci in pipeline.outputs.eval_camera_indices:
+        bundle, _, (hs, ws) = pipeline.datamanager.eval_camera_bundle(ci)
+        nff = pipeline._chunked_nff(state.params, bundle, all_camera=True)
+        depth = np.asarray(nff["depth"]).reshape(hs, ws, 1)
+        origins = np.asarray(bundle.origins).reshape(hs, ws, 3)
+        dirs = np.asarray(bundle.directions).reshape(hs, ws, 3)
+        positions = origins + dirs * depth
+        normals, valid = normals_from_depth(positions, cam_center=origins[0, 0])
+        keep = valid & (depth[..., 0] < 1e3)
+        pts.append(positions[keep])
+        nrms.append(normals[keep])
+    pts = np.concatenate(pts) if pts else np.zeros((0, 3))
+    nrms = np.concatenate(nrms) if nrms else np.zeros((0, 3))
+    if len(pts) > num_points:
+        sel = np.random.default_rng(0).choice(len(pts), num_points, replace=False)
+        pts, nrms = pts[sel], nrms[sel]
+    chi, iso, aabb = poisson_reconstruct(pts, nrms, resolution=resolution)
+    verts, faces = marching_tetrahedra(-chi, aabb, iso=-iso)
+    write_mesh_ply(out_path, verts, faces)
+    return len(verts), len(faces)
+
+
 def export_field_mesh(pipeline, state, out_path: Path, resolution: int = 256, time: float = 0.0,
                       chunk: int = 131072):
     """Direct field iso-surface: evaluate the model's SDF (or density) on a
@@ -138,7 +171,10 @@ def export_field_mesh(pipeline, state, out_path: Path, resolution: int = 256, ti
 
 def entrypoint(argv=None):
     parser = argparse.ArgumentParser(description="Export from a trained neurad_tpu run")
-    parser.add_argument("mode", choices=["pointcloud", "gaussian-splat", "camera-poses", "tsdf-mesh", "field-mesh"])
+    parser.add_argument(
+        "mode",
+        choices=["pointcloud", "gaussian-splat", "camera-poses", "tsdf-mesh", "field-mesh", "poisson"],
+    )
     parser.add_argument("run_dir")
     parser.add_argument("--output", default=None)
     parser.add_argument("--resolution", type=int, default=128)
@@ -159,6 +195,9 @@ def entrypoint(argv=None):
     elif args.mode == "field-mesh":
         nv, nf = export_field_mesh(pipeline, state, out, resolution=args.resolution, time=args.time)
         print(f"[nt-export] wrote field mesh with {nv} verts / {nf} faces to {out}")
+    elif args.mode == "poisson":
+        nv, nf = export_poisson_mesh(pipeline, state, out, resolution=args.resolution)
+        print(f"[nt-export] wrote poisson mesh with {nv} verts / {nf} faces to {out}")
     elif args.mode == "gaussian-splat":
         n = export_gaussian_splat(state.params, out)
         print(f"[nt-export] wrote {n} gaussians to {out}")

@@ -72,6 +72,28 @@ def test_bin_gaussians_orders_by_depth():
     assert np.asarray(binning.tile_gauss[2])[0] == 2
 
 
+def test_bin_gaussians_max_visible_culls_far():
+    """max_visible keeps the NEAREST visible gaussians and counts the culled."""
+    means2d = jnp.array([[8.0, 8.0], [8.0, 8.0], [8.0, 8.0], [40.0, 8.0]])
+    radii = jnp.array([3.0, 3.0, 0.0, 3.0])  # gaussian 2 invisible
+    depths = jnp.array([5.0, 2.0, 1.0, 9.0])
+    binning = bin_gaussians(
+        means2d, radii, depths, (0.0, 0.0), (16.0, 16.0), (4, 1), 4, 8, max_visible=2
+    )
+    # nearest two visible = gaussians 1 (d=2) and 0 (d=5); gaussian 3 culled
+    tg, tv = np.asarray(binning.tile_gauss[0]), np.asarray(binning.tile_valid[0])
+    assert tv[:2].all() and not tv[2:].any()
+    assert tg[0] == 1 and tg[1] == 0
+    assert not np.asarray(binning.tile_valid[2]).any()  # tile of gaussian 3 empty
+    assert int(binning.culled_visible) == 1
+    # cap >= visible count: nothing culled, same result as uncapped
+    b2 = bin_gaussians(
+        means2d, radii, depths, (0.0, 0.0), (16.0, 16.0), (4, 1), 4, 8, max_visible=3
+    )
+    assert int(b2.culled_visible) == 0
+    assert np.asarray(b2.tile_valid[2]).sum() == 1
+
+
 def test_rasterize_camera_renders_gaussian():
     K, viewmat = _camera_setup()
     means = jnp.array([[0.0, 0.0, 10.0]])

@@ -167,3 +167,16 @@ def test_field_mesh_export(pipeline, tmp_path):
     assert out.exists()
     # untrained SDF still has a zero crossing somewhere in the box
     assert nv > 0 and nf > 0
+
+
+def test_poisson_mesh_export(pipeline, tmp_path):
+    """poisson export end-to-end: depth render -> oriented points -> FFT
+    indicator solve -> mesh (counterpart of ExportPoissonMesh; geometric
+    accuracy is covered by tests/exporter/test_poisson.py)."""
+    from neurad_tpu.scripts.export import export_poisson_mesh
+
+    state, _ = pipeline.init_state(jax.random.PRNGKey(6))
+    out = tmp_path / "poisson.ply"
+    nv, nf = export_poisson_mesh(pipeline, state, out, resolution=32, num_points=20000)
+    assert out.exists()
+    assert nv >= 0 and nf >= 0  # untrained depth may produce a sparse surface
