@@ -99,8 +99,11 @@ def load_transforms_json(path: str):
 def entrypoint(argv=None):
     import argparse
 
-    parser = argparse.ArgumentParser(description="Ingest images/video into a dataset")
-    parser.add_argument("mode", choices=["video", "images", "transforms"])
+    parser = argparse.ArgumentParser(description="Ingest captures into a dataset")
+    parser.add_argument(
+        "mode",
+        choices=["video", "images", "transforms", "polycam", "record3d", "metashape", "odm"],
+    )
     parser.add_argument("source")
     parser.add_argument("--output-dir", default="data/processed")
     args = parser.parse_args(argv)
@@ -110,9 +113,35 @@ def entrypoint(argv=None):
     elif args.mode == "images":
         run_colmap(args.source, args.output_dir + "/colmap")
         print("colmap sparse reconstruction complete")
-    else:
+    elif args.mode == "transforms":
         cams, imgs = load_transforms_json(args.source)
         print(f"loaded {len(imgs)} frames from {args.source}")
+    else:
+        # capture-app converters (`nerfstudio/process_data/*_utils.py`)
+        import os
+
+        from neurad_tpu import process_data_converters as C
+
+        src = args.source
+        if args.mode == "polycam":
+            imgs = sorted(os.listdir(os.path.join(src, "keyframes", "images")))
+            data = C.polycam_to_transforms(
+                os.path.join(src, "keyframes", "cameras"), imgs, args.output_dir
+            )
+        elif args.mode == "record3d":
+            imgs = sorted(os.listdir(os.path.join(src, "rgb")))
+            data = C.record3d_to_transforms(
+                os.path.join(src, "metadata.json"), imgs, args.output_dir
+            )
+        elif args.mode == "metashape":
+            data = C.metashape_to_transforms(src, args.output_dir)
+        else:  # odm
+            data = C.odm_to_transforms(
+                os.path.join(src, "cameras.json"),
+                os.path.join(src, "odm_report", "shots.geojson"),
+                args.output_dir,
+            )
+        print(f"[nt-process-data] wrote {len(data['frames'])} frames to {args.output_dir}/transforms.json")
 
 
 if __name__ == "__main__":
