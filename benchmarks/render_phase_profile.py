@@ -55,8 +55,10 @@ def main():
     Kmat = jnp.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]])
 
     def project(means, i):
-        covars = G.quat_scale_to_covariance(quats, jnp.exp(scales))
-        return G.project_gaussians_camera(means + i * 1e-4, covars, viewmat, Kmat, W, H)
+        covar6 = G.quat_scale_to_covar6(quats, jnp.exp(scales))
+        return G.project_gaussians_camera(
+            means + i * 1e-4, covar6=covar6, viewmat=viewmat, K=Kmat, width=W, height=H
+        )
 
     @jax.jit
     def proj_only(means):

@@ -353,14 +353,14 @@ class SplatADModel(nn.Module):
         ang_vel_cam = ang_vel * jnp.array([1.0, -1.0, -1.0])
 
         means, vels = self._actor_adjusted_means(cam_time)
-        covars = G.quat_scale_to_covariance(self.quats, jnp.exp(self.scales))
+        covar6 = G.quat_scale_to_covar6(self.quats, jnp.exp(self.scales))
         proj = G.project_gaussians_camera(
             means,
-            covars,
-            viewmat,
-            K,
-            width,
-            height,
+            covar6=covar6,
+            viewmat=viewmat,
+            K=K,
+            width=width,
+            height=height,
             velocities=vels,
             camera_linear_velocity=lin_vel_cam,
             camera_angular_velocity=ang_vel_cam,
@@ -418,13 +418,14 @@ class SplatADModel(nn.Module):
         """Lidar render at spherical query points (`splatad.py:1037-1230`)."""
         cfg = self.config
         means, vels = self._actor_adjusted_means(time)
-        covars = G.quat_scale_to_covariance(self.quats, jnp.exp(self.scales))
+        covar6 = G.quat_scale_to_covar6(self.quats, jnp.exp(self.scales))
         r_wl = l2w[:3, :3].T
         viewmat = jnp.eye(4).at[:3, :3].set(r_wl).at[:3, 3].set(-r_wl @ l2w[:3, 3])
         lin = l2w[:3, :3].T @ (lidar_linear_vel if lidar_linear_vel is not None else jnp.zeros(3))
         ang = lidar_angular_vel if lidar_angular_vel is not None else jnp.zeros(3)
         proj = G.project_gaussians_lidar(
-            means, covars, viewmat, velocities=vels, lidar_linear_velocity=lin, lidar_angular_velocity=ang
+            means, covar6=covar6, viewmat=viewmat, velocities=vels,
+            lidar_linear_velocity=lin, lidar_angular_velocity=ang,
         )
         raster_kw = dict(
             elev_range=cfg.lidar_elev_range,

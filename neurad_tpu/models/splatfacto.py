@@ -89,9 +89,10 @@ class SplatfactoModel(nn.Module):
         t_wc = -r_wc @ c2w_opengl[:3, 3]
         viewmat = jnp.eye(4).at[:3, :3].set(r_wc).at[:3, 3].set(t_wc)
 
-        covars = G.quat_scale_to_covariance(self.quats, jnp.exp(self.scales))
+        covar6 = G.quat_scale_to_covar6(self.quats, jnp.exp(self.scales))
         proj = G.project_gaussians_camera(
-            self.means, covars, viewmat, K, width, height, near_plane=cfg.near_plane, eps2d=cfg.eps2d
+            self.means, covar6=covar6, viewmat=viewmat, K=K, width=width, height=height,
+            near_plane=cfg.near_plane, eps2d=cfg.eps2d,
         )
         if means2d_offset is not None:
             proj = proj._replace(means2d=proj.means2d + means2d_offset)

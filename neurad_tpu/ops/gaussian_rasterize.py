@@ -81,7 +81,13 @@ def bin_gaussians(
     culled_visible = jnp.int32(0)
     if max_visible and max_visible < n:
         culled_visible = jnp.maximum(jnp.sum(radii > 0) - max_visible, 0).astype(jnp.int32)
-        order = order[:max_visible]
+        # Slice with a data-dependent (always-0) start: a STATIC slice of a sort
+        # is rewritten by XLA into TopK, which at K~2^17 is ~11 ms/frame slower
+        # than the full 500k sort it replaces (measured on v5e; TopK is built
+        # for small K). f32*0 is not algebraically folded (NaN semantics), so
+        # the rewrite can't fire.
+        traced_zero = (depths.reshape(-1)[0] * 0.0).astype(jnp.int32)
+        order = jax.lax.dynamic_slice_in_dim(order, traced_zero, max_visible)
         n = max_visible
     m2 = means2d[order]
     rad = radii[order]
@@ -111,15 +117,22 @@ def bin_gaussians(
     cx = cx if wrap_x else jnp.clip(cx, 0, ntx - 1)
     cy = jnp.clip(jnp.floor((m2[:, 1] - grid_min[1]) / tile_size[1]).astype(jnp.int32), 0, nty - 1)
     wx_c = jnp.minimum(wx, c)
-    wy_c = jnp.minimum(wy, jnp.maximum(c // jnp.clip(wx_c, 1, None), 1))
+    # c // wx_c via exact float reciprocal (same trick as the slot emission)
+    c_over_wx = jnp.floor((float(c) + 0.5) / jnp.clip(wx_c, 1, None).astype(jnp.float32)).astype(jnp.int32)
+    wy_c = jnp.minimum(wy, jnp.maximum(c_over_wx, 1))
     x0 = jnp.clip(cx - wx_c // 2, x0, x1 - wx_c + 1)
     y0 = jnp.clip(cy - wy_c // 2, y0, y1 - wy_c + 1)
     wx, wy = wx_c, wy_c
 
-    # emit up to C tile slots per gaussian (row-major over the covered rect)
+    # emit up to C tile slots per gaussian (row-major over the covered rect).
+    # Integer %/​// over [N, C] expand to slow division loops on the VPU; with
+    # slot < C and wx <= C both tiny, exact float math is much faster:
+    # floor((slot + 0.5) * (1/wx)) == slot // wx (the +0.5 keeps the product
+    # safely inside the correct unit interval under f32 rounding).
     slot = jnp.arange(c, dtype=jnp.int32)  # [C]
-    sx = slot[None, :] % jnp.clip(wx, 1, None)[:, None]
-    sy = slot[None, :] // jnp.clip(wx, 1, None)[:, None]
+    inv_wx = 1.0 / jnp.clip(wx, 1, None).astype(jnp.float32)
+    sy = jnp.floor((slot[None, :].astype(jnp.float32) + 0.5) * inv_wx[:, None]).astype(jnp.int32)
+    sx = slot[None, :] - sy * jnp.clip(wx, 1, None)[:, None]
     tile_x = x0[:, None] + sx
     if wrap_x:
         tile_x = jnp.mod(tile_x, ntx)

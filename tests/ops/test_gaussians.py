@@ -72,6 +72,66 @@ def test_bin_gaussians_orders_by_depth():
     assert np.asarray(binning.tile_gauss[2])[0] == 2
 
 
+def test_covar6_projection_matches_einsum_path():
+    """The structure-of-arrays (covar6) projection — the TPU fast path that
+    avoids [N,3,3]/[N,2,2] intermediates — must match the einsum path exactly,
+    for camera AND lidar, values and gradients."""
+    import jax
+
+    from neurad_tpu.ops.gaussians import (
+        project_gaussians_lidar,
+        quat_scale_to_covar6,
+        quat_scale_to_covariance,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 64
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.05, 0.5, size=(n, 3)).astype(np.float32))
+    means = jnp.asarray(rng.uniform(-10, 10, size=(n, 3)).astype(np.float32))
+    vels = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    K, viewmat = _camera_setup()
+
+    cov = quat_scale_to_covariance(quats, scales)
+    c6 = quat_scale_to_covar6(quats, scales)
+    # covar6 entries == the [N,3,3] matrix entries
+    for (i, j), e in zip(((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)), c6):
+        np.testing.assert_allclose(np.asarray(cov[:, i, j]), np.asarray(e), rtol=1e-5, atol=1e-6)
+
+    def cam_a(q, s):
+        p = project_gaussians_camera(
+            means, quat_scale_to_covariance(q, s), viewmat, K, 64, 48, velocities=vels,
+            camera_linear_velocity=jnp.array([0.1, 0.2, 0.3]),
+        )
+        return p
+
+    def cam_b(q, s):
+        return project_gaussians_camera(
+            means, covar6=quat_scale_to_covar6(q, s), viewmat=viewmat, K=K, width=64, height=48,
+            velocities=vels, camera_linear_velocity=jnp.array([0.1, 0.2, 0.3]),
+        )
+
+    pa, pb = cam_a(quats, scales), cam_b(quats, scales)
+    for name in ("means2d", "depths", "conics", "radii", "compensations", "vel2d"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(pa, name)), np.asarray(getattr(pb, name)), rtol=2e-4, atol=2e-5,
+            err_msg=f"camera {name}",
+        )
+
+    ga = jax.grad(lambda q, s: jnp.sum(cam_a(q, s).conics**2), argnums=(0, 1))(quats, scales)
+    gb = jax.grad(lambda q, s: jnp.sum(cam_b(q, s).conics**2), argnums=(0, 1))(quats, scales)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
+
+    la = project_gaussians_lidar(means, cov, jnp.eye(4), velocities=vels)
+    lb = project_gaussians_lidar(means, covar6=c6, viewmat=jnp.eye(4), velocities=vels)
+    for name in ("means2d", "depths", "conics", "radii", "compensations", "vel2d", "depth_vel"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(la, name)), np.asarray(getattr(lb, name)), rtol=2e-4, atol=2e-5,
+            err_msg=f"lidar {name}",
+        )
+
+
 def test_bin_gaussians_max_visible_culls_far():
     """max_visible keeps the NEAREST visible gaussians and counts the culled."""
     means2d = jnp.array([[8.0, 8.0], [8.0, 8.0], [8.0, 8.0], [40.0, 8.0]])
