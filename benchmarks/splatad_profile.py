@@ -68,8 +68,10 @@ def main():
     Kmat = jnp.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]])
 
     def project(means, scales):
-        covars = G.quat_scale_to_covariance(quats, jnp.exp(scales))
-        return G.project_gaussians_camera(means, covars, viewmat, Kmat, W, H)
+        covar6 = G.quat_scale_to_covar6(quats, jnp.exp(scales))
+        return G.project_gaussians_camera(
+            means, covar6=covar6, viewmat=viewmat, K=Kmat, width=W, height=H
+        )
 
     # --- phase: projection + binning only
     @jax.jit
@@ -135,8 +137,8 @@ def main():
 
     def make_lidar(raster_fn, **kw):
         def lidar_loss(means, scales, i):
-            covars = G.quat_scale_to_covariance(quats, jnp.exp(scales))
-            proj = G.project_gaussians_lidar(means + i * 1e-4, covars, jnp.eye(4))
+            covar6 = G.quat_scale_to_covar6(quats, jnp.exp(scales))
+            proj = G.project_gaussians_lidar(means + i * 1e-4, covar6=covar6, viewmat=jnp.eye(4))
             out = raster_fn(proj, feats, opac, pts, max_per_tile=128, **kw)
             return jnp.sum(out["features"] ** 2) + jnp.sum(out["alpha_sum_until_points"])
 
