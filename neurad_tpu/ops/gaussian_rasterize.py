@@ -190,6 +190,44 @@ def bin_gaussians(
     )
 
 
+def _packed_gather(projected: Projected, opac: jnp.ndarray, features: jnp.ndarray, tg: jnp.ndarray):
+    """One wide row-gather instead of seven narrow ones.
+
+    Measured on v5e (1M rows from a 500k-row table): f32 row-gathers run at
+    ~7-14 ms at widths <=8 or >=64 but 43-66 ms at widths 16-32 (lane-tile
+    pathology), and every separate array pays the per-row cost again. Packing
+    all per-gaussian render attributes into one 64/128-column f32 table turns
+    ~70 ms of gathers into one ~14 ms gather; the backward collapses seven
+    scatter-adds into one for the same reason."""
+    c = features.shape[-1]
+    packed = jnp.concatenate(
+        [
+            projected.means2d,
+            projected.vel2d,
+            projected.conics,
+            opac[:, None],
+            projected.depths[:, None],
+            projected.depth_vel[:, None],
+            features.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [N, 10 + C]
+    width = packed.shape[1]
+    target = 64 if width <= 64 else 128
+    if width < target:
+        packed = jnp.pad(packed, ((0, 0), (0, target - width)))
+    g = packed[tg]  # [..., target]
+    return (
+        g[..., 0:2],  # means2d
+        g[..., 2:4],  # vel2d
+        g[..., 4:7],  # conics
+        g[..., 7],  # opac
+        g[..., 8],  # depths
+        g[..., 9],  # depth_vel
+        g[..., 10 : 10 + c],  # features
+    )
+
+
 def _composite(
     pix_coords: jnp.ndarray,  # [T_chunk, P, 2]
     pix_times: Optional[jnp.ndarray],  # [T_chunk, P] or None
@@ -306,35 +344,31 @@ def rasterize_camera(
             if backend == "pallas"
             else _ft.partial(hybrid_tile_composite, compute_dtype)
         )
-        tg = binning.tile_gauss  # [T, K]
+        g_means, g_vel, g_con, g_op, g_dep, g_dvel, g_feat = _packed_gather(
+            projected, opac, features, binning.tile_gauss
+        )
         feat, depth, alpha = fn(
             pix,
             pix_times[..., None],
-            projected.means2d[tg],
-            projected.vel2d[tg],
-            projected.conics[tg],
-            opac[tg][..., None],
-            features[tg],
-            projected.depths[tg][..., None],
-            projected.depth_vel[tg][..., None],
+            g_means,
+            g_vel,
+            g_con,
+            g_op[..., None],
+            g_feat,
+            g_dep[..., None],
+            g_dvel[..., None],
             binning.tile_valid.astype(jnp.float32)[..., None],
         )
     else:
 
         def chunk_fn(args):
             tg, tv, pc, pt = args
+            # packed gather per chunk: the chunked lax.map + checkpoint keeps
+            # the gathered [T,K,*] arrays from materializing all at once (the
+            # no-cull K=256 config at 1080p would otherwise hold ~534 MB)
+            gm, gv, gc, go, gd, gdv, gf = _packed_gather(projected, opac, features, tg)
             return _composite(
-                pc,
-                pt,
-                projected.means2d[tg],
-                projected.vel2d[tg],
-                projected.conics[tg],
-                opac[tg],
-                features[tg],
-                projected.depths[tg],
-                projected.depth_vel[tg],
-                tv,
-                compute_dtype=compute_dtype,
+                pc, pt, gm, gv, gc, go, gf, gd, gdv, tv, compute_dtype=compute_dtype
             )[:3]
 
         # pad tiles to a multiple of tile_chunk and map over chunks
@@ -668,24 +702,25 @@ def rasterize_lidar_points_tiled(
         # kernel in interpret mode at small shapes)
         backend = "xla"
     if backend == "hybrid":
-        # gathers once at [T, K] (they double as the custom-VJP residuals);
+        # one packed wide gather instead of seven narrow ones (_packed_gather);
+        # the gathered [T, K] arrays double as the custom-VJP residuals.
         # XLA forward + fused Pallas backward (ops/pallas_composite)
-        tg = binning.tile_gauss
+        g_means, g_vel, g_con, g_op, g_dep, g_dvel, g_feat = _packed_gather(
+            projected, opac, features, binning.tile_gauss
+        )
         feat, depth, acc, alpha_until, med = _hybrid_lidar_composite(
             wrap, depth_eps, compute_alpha_sum_until_points, tile_chunk,
             pts_slot, valid_slot.astype(jnp.float32),
-            projected.means2d[tg], projected.vel2d[tg], projected.conics[tg],
-            opac[tg], features[tg], projected.depths[tg], projected.depth_vel[tg],
+            g_means, g_vel, g_con, g_op, g_feat, g_dep, g_dvel,
             binning.tile_valid.astype(jnp.float32),
         )
     else:
         def tile_fn(args):
             tg, tv, pts_c, vmask = args  # [Tc,K] [Tc,K] [Tc,P,4+] [Tc,P]
+            gm, gv, gc, go, gd, gdv, gf = _packed_gather(projected, opac, features, tg)
             return _lidar_composite_xla(
                 wrap, depth_eps, compute_alpha_sum_until_points,
-                pts_c, vmask,
-                projected.means2d[tg], projected.vel2d[tg], projected.conics[tg],
-                opac[tg], features[tg], projected.depths[tg], projected.depth_vel[tg], tv,
+                pts_c, vmask, gm, gv, gc, go, gf, gd, gdv, tv,
             )
 
         tg = padded(binning.tile_gauss).reshape(-1, tile_chunk, k)
