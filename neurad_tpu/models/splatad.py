@@ -281,13 +281,14 @@ class SplatADModel(nn.Module):
 
     # ------------------------------------------------------------------
 
-    def _actor_adjusted_means(self, time: jnp.ndarray):
+    def _actor_adjusted_means(self, time: jnp.ndarray, edits=None):
         """World-frame means + velocities for all gaussians at `time`
-        (`splatad.py:835-869`), dense/masked."""
+        (`splatad.py:835-869`), dense/masked. edits: optional ActorEdits for
+        interactive viewer/render-time actor manipulation."""
         means = self.means
         if self.n_actors == 0:
             return means, jnp.zeros_like(means)
-        b2w, _ = self.actors.get_boxes2world(time.reshape(1))  # [1, A, 4, 4]
+        b2w, _ = self.actors.get_boxes2world(time.reshape(1), edits=edits)  # [1, A, 4, 4]
         b2w = b2w[0]
         vels6 = self.actors.get_velocities(time.reshape(1))[0]  # [A, 6]
         ids = jnp.clip(self.gauss_ids, 0, self.n_actors - 1)
@@ -321,6 +322,7 @@ class SplatADModel(nn.Module):
         time_to_center_pixel: float = 0.0,
         train: bool = False,
         means2d_offset: Optional[jnp.ndarray] = None,
+        edits=None,
     ) -> Dict[str, jnp.ndarray]:
         """Camera render (`splatad.py:871-1035`).
 
@@ -352,7 +354,7 @@ class SplatADModel(nn.Module):
         lin_vel_cam = (c2w[:3, :3].T @ lin_vel) * jnp.array([1.0, -1.0, -1.0])
         ang_vel_cam = ang_vel * jnp.array([1.0, -1.0, -1.0])
 
-        means, vels = self._actor_adjusted_means(cam_time)
+        means, vels = self._actor_adjusted_means(cam_time, edits)
         covar6 = G.quat_scale_to_covar6(self.quats, jnp.exp(self.scales))
         proj = G.project_gaussians_camera(
             means,
@@ -414,10 +416,11 @@ class SplatADModel(nn.Module):
         lidar_linear_vel: Optional[jnp.ndarray] = None,
         lidar_angular_vel: Optional[jnp.ndarray] = None,
         train: bool = False,
+        edits=None,
     ) -> Dict[str, jnp.ndarray]:
         """Lidar render at spherical query points (`splatad.py:1037-1230`)."""
         cfg = self.config
-        means, vels = self._actor_adjusted_means(time)
+        means, vels = self._actor_adjusted_means(time, edits)
         covar6 = G.quat_scale_to_covar6(self.quats, jnp.exp(self.scales))
         r_wl = l2w[:3, :3].T
         viewmat = jnp.eye(4).at[:3, :3].set(r_wl).at[:3, 3].set(-r_wl @ l2w[:3, 3])

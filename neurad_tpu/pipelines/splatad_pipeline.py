@@ -306,6 +306,89 @@ class SplatADPipeline:
         return state.replace(params={**state.params, "params": p}, rng=rng)
 
     # ------------------------------------------------------------------
+    # viewer rendering (traced edit values: sliders don't recompile) — the
+    # SplatAD counterpart of ADPipeline.render_viewer_image/render_virtual_lidar
+    # (reference: `viewer/render_state_machine.py` + the splatad RS/actor-edit
+    # sliders `splatad.py:466-532`)
+    # ------------------------------------------------------------------
+
+    def render_viewer_image(
+        self, params, c2w: np.ndarray, width: int, height: int, time: float, edits_vec=None
+    ) -> np.ndarray:
+        from neurad_tpu.model_components.dynamic_actors import ActorEdits
+
+        if not hasattr(self, "_viewer_applies"):
+            self._viewer_applies = {}
+        key = (width, height)
+        if key not in self._viewer_applies:
+
+            @jax.jit
+            def fn(params, c2w, t, ev):
+                focal = 0.7 * width
+                K = jnp.array([[focal, 0.0, width / 2.0], [0.0, focal, height / 2.0], [0.0, 0.0, 1.0]])
+                edits = ActorEdits(lateral=ev[0], longitudinal=ev[1], rotation=ev[2], height=ev[3], index=-1)
+                out = self.model.apply(
+                    params, c2w[:3], K, width, height, t,
+                    jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                    edits=edits,
+                    method=SplatADModel.get_camera_outputs,
+                )
+                return out["rgb"]
+
+            self._viewer_applies[key] = fn
+
+        ev = jnp.zeros(4) if edits_vec is None else jnp.asarray(edits_vec, jnp.float32)
+        return np.asarray(
+            self._viewer_applies[key](params, jnp.asarray(c2w, jnp.float32), float(time), ev)
+        )
+
+    def render_virtual_lidar(
+        self, params, origin: np.ndarray, time: float, channels: int = 32,
+        azim_res_deg: float = 1.0, fov_up: float = 5.0, fov_down: float = -15.0,
+        drop_threshold: float = 0.5, edits_vec=None,
+    ) -> np.ndarray:
+        """Virtual-lidar point cloud at `origin` via the spherical rasterizer;
+        keeps points whose predicted ray-drop prob < threshold. [N, 4]."""
+        from neurad_tpu.model_components.dynamic_actors import ActorEdits
+
+        elev = np.linspace(fov_down, fov_up, channels)
+        azim = np.arange(-180.0, 180.0, azim_res_deg)
+        el, azm = np.meshgrid(elev, azim, indexing="ij")
+        pts = np.stack(
+            [azm.reshape(-1), el.reshape(-1), np.zeros(el.size), np.zeros(el.size), np.zeros(el.size)],
+            axis=-1,
+        ).astype(np.float32)
+        n = pts.shape[0]
+
+        if not hasattr(self, "_viewer_lidar_applies"):
+            self._viewer_lidar_applies = {}
+        if n not in self._viewer_lidar_applies:
+
+            @jax.jit
+            def fn(params, l2w, raster_pts, t, ev):
+                edits = ActorEdits(lateral=ev[0], longitudinal=ev[1], rotation=ev[2], height=ev[3], index=-1)
+                out = self.model.apply(
+                    params, l2w, raster_pts, t, jnp.zeros((), jnp.int32),
+                    edits=edits,
+                    method=SplatADModel.get_lidar_outputs,
+                )
+                return out["depth"], out["intensity"], out["ray_drop_logits"]
+
+            self._viewer_lidar_applies[n] = fn
+
+        ev = jnp.zeros(4) if edits_vec is None else jnp.asarray(edits_vec, jnp.float32)
+        l2w = jnp.eye(4)[:3].at[:, 3].set(jnp.asarray(origin, jnp.float32))
+        depth, intensity, drop_logits = self._viewer_lidar_applies[n](
+            params, l2w, jnp.asarray(pts), float(time), ev
+        )
+        depth, intensity = np.asarray(depth), np.asarray(intensity)
+        keep = 1.0 / (1.0 + np.exp(-np.asarray(drop_logits)[:, 0])) < drop_threshold
+        azim_r, elev_r = np.deg2rad(pts[:, 0]), np.deg2rad(pts[:, 1])
+        dirs = np.stack(
+            [np.cos(elev_r) * np.cos(azim_r), np.cos(elev_r) * np.sin(azim_r), np.sin(elev_r)], axis=-1
+        )
+        world = np.asarray(origin)[None] + dirs * depth
+        return np.concatenate([world, intensity], axis=-1)[keep]
 
     def eval_metrics(self, state: TrainState) -> Dict[str, float]:
         metrics: Dict[str, float] = {}

@@ -19,7 +19,6 @@ def load_run(run_dir: str):
     import orbax.checkpoint as ocp
 
     from neurad_tpu.configs.method_configs import get_dataparser, get_method_config
-    from neurad_tpu.pipelines.ad_pipeline import ADPipeline
 
     run = Path(run_dir)
     meta = json.loads((run / "config.json").read_text())
@@ -32,16 +31,27 @@ def load_run(run_dir: str):
 
     dataparser = get_dataparser(meta["dataparser"])
     outputs = dataparser.get_dataparser_outputs("test")
-    pipeline = ADPipeline(outputs, cfg.pipeline)
-    state, tx = pipeline.init_state(jax.random.PRNGKey(meta.get("seed", 42)))
+    # same dispatch as training: ray (ADPipeline) vs full-sensor
+    # (SplatAD/Splatfacto) pipelines restore from the same run layout
+    pipeline = cfg.build_pipeline(outputs)
+    ret = pipeline.init_state(jax.random.PRNGKey(meta.get("seed", 42)))
+    state = ret[0] if isinstance(ret, tuple) else ret  # splat pipelines return bare state
 
     mngr = ocp.CheckpointManager(str((run / "checkpoints").absolute()))
     step = mngr.latest_step()
     if step is not None:
-        restored = mngr.restore(
-            step, args=ocp.args.StandardRestore({"params": state.params, "opt_state": state.opt_state})
+        tmpl = {"params": state.params, "opt_state": state.opt_state, "rng": state.rng}
+        try:
+            restored = mngr.restore(step, args=ocp.args.StandardRestore(tmpl))
+        except ValueError:  # older 2-field checkpoints (no rng)
+            tmpl.pop("rng")
+            restored = mngr.restore(step, args=ocp.args.StandardRestore(tmpl))
+        state = state.replace(
+            step=jnp.asarray(step),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            rng=restored.get("rng", state.rng),
         )
-        state = state.replace(step=jnp.asarray(step), params=restored["params"], opt_state=restored["opt_state"])
     return pipeline, state, step
 
 

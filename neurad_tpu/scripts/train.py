@@ -92,9 +92,79 @@ def entrypoint(argv=None):
     print(f"[nt-train] {args.method} on {args.dataparser or cfg.dataparser}: "
           f"{cfg.trainer.max_num_iterations} iters, backend={jax.default_backend()}")
 
+    def _start_viewer(pipeline, get_state, run_dir, args):
+        # live viewer against the CURRENT train state, under a lock shared with
+        # the step loop (the reference's train_lock, `trainer.py:171`)
+        import numpy as np
+
+        from neurad_tpu.viewer.server import ViewerServer
+
+        def _edits_vec(edits):
+            if not edits:
+                return None
+            return np.asarray([
+                edits.get("lateral", 0.0), edits.get("longitudinal", 0.0),
+                edits.get("rotation", 0.0), edits.get("height", 0.0),
+            ], dtype=np.float32)
+
+        def render_fn(c2w, width, height, t01, edits=None):
+            return pipeline.render_viewer_image(
+                get_state().params, c2w, width, height,
+                t01 * pipeline.outputs.duration, _edits_vec(edits),
+            )
+
+        lidar_fn = None
+        if hasattr(pipeline, "render_virtual_lidar"):
+
+            def lidar_fn(t01, channels, azim_res, drop_threshold, edits=None):
+                # virtual lidar mounted at the mean train-camera position
+                origin = np.asarray(pipeline.outputs.cameras.camera_to_worlds)[:, :3, 3].mean(0)
+                origin[2] += 0.5
+                return pipeline.render_virtual_lidar(
+                    get_state().params, origin, t01 * pipeline.outputs.duration,
+                    channels=channels, azim_res_deg=azim_res,
+                    drop_threshold=drop_threshold, edits_vec=_edits_vec(edits),
+                )
+
+        def export_fn():
+            if type(pipeline).__name__ == "SplatADPipeline":
+                from neurad_tpu.scripts.export import export_gaussian_splat
+
+                path = run_dir / "viewer_export_splat.ply"
+                export_gaussian_splat(get_state().params, path)
+            else:
+                from neurad_tpu.scripts.export import export_pointcloud
+
+                path = run_dir / "viewer_export_pointcloud.ply"
+                export_pointcloud(pipeline, get_state(), path)
+            return str(path)
+
+        ViewerServer(
+            render_fn, port=args.viewer_port, lidar_fn=lidar_fn, export_fn=export_fn
+        ).start(background=True)
+
+    def _make_ckpt_manager():
+        import orbax.checkpoint as ocp
+
+        return ocp.CheckpointManager(
+            cfg.trainer.checkpoint_dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=cfg.trainer.keep_last_n_checkpoints),
+        )
+
+    def _save_ckpt(mngr, step, state):
+        import orbax.checkpoint as ocp
+
+        mngr.save(
+            step,
+            args=ocp.args.StandardSave(
+                {"params": state.params, "opt_state": state.opt_state, "rng": state.rng}
+            ),
+        )
+
     if cfg.pipeline_type == "splatfacto":
         # camera-only splatting: pipeline samples its own train cameras
         state, _ = pipeline.init_state(jax.random.PRNGKey(args.seed))
+        mngr = _make_ckpt_manager()
         metrics = {}
         for i in range(cfg.trainer.max_num_iterations):
             state, m = pipeline.train_step(state)
@@ -105,16 +175,25 @@ def entrypoint(argv=None):
             if i > 0 and i % cfg.trainer.steps_per_eval_batch == 0:
                 metrics["eval/psnr"] = pipeline.eval_psnr(state)
                 writer.write_scalars(i, {"eval/psnr": metrics["eval/psnr"]})
+            if i > 0 and i % cfg.trainer.steps_per_save == 0:
+                _save_ckpt(mngr, i, state)
+        _save_ckpt(mngr, cfg.trainer.max_num_iterations, state)
+        mngr.wait_until_finished()
         print(f"[nt-train] done: {json.dumps(metrics)}")
         return state
 
     if cfg.pipeline_type == "splatad":
         # full-sensor loop: the pipeline dispatches per-modality jit steps itself
         state = pipeline.init_state(jax.random.PRNGKey(args.seed))
+        mngr = _make_ckpt_manager()
+        state_ref = {"state": state}
+        if args.viewer:
+            _start_viewer(pipeline, lambda: state_ref["state"], run_dir, args)
         metrics = {}
         for i in range(cfg.trainer.max_num_iterations):
             sample = pipeline.datamanager.next_train()
             state, m = pipeline.train_step(state, sample)
+            state_ref["state"] = state
             if i % cfg.trainer.steps_per_log == 0:
                 metrics = {k: float(v) for k, v in m.items()}
                 writer.write_scalars(i, metrics)
@@ -122,6 +201,10 @@ def entrypoint(argv=None):
                 ev = pipeline.eval_metrics(state)
                 writer.write_scalars(i, {f"eval/{k}": v for k, v in ev.items()})
                 metrics.update({f"eval/{k}": v for k, v in ev.items()})
+            if i > 0 and i % cfg.trainer.steps_per_save == 0:
+                _save_ckpt(mngr, i, state)
+        _save_ckpt(mngr, cfg.trainer.max_num_iterations, state)
+        mngr.wait_until_finished()
         print(f"[nt-train] done: {json.dumps(metrics)}")
         return state
 
@@ -146,46 +229,7 @@ def entrypoint(argv=None):
     trainer.datamanager = pipeline.datamanager
 
     if args.viewer:
-        # live viewer rendering against the CURRENT train state, under a lock
-        # shared with the step loop (the reference's train_lock, `trainer.py:171`)
-        import numpy as np
-
-        from neurad_tpu.viewer.server import ViewerServer
-
-        def _edits_vec(edits):
-            if not edits:
-                return None
-            return np.asarray([
-                edits.get("lateral", 0.0), edits.get("longitudinal", 0.0),
-                edits.get("rotation", 0.0), edits.get("height", 0.0),
-            ], dtype=np.float32)
-
-        def render_fn(c2w, width, height, t01, edits=None):
-            return pipeline.render_viewer_image(
-                trainer.state.params, c2w, width, height,
-                t01 * pipeline.outputs.duration, _edits_vec(edits),
-            )
-
-        def lidar_fn(t01, channels, azim_res, drop_threshold, edits=None):
-            # virtual lidar mounted at the mean train-camera position
-            origin = np.asarray(pipeline.outputs.cameras.camera_to_worlds)[:, :3, 3].mean(0)
-            origin[2] += 0.5
-            return pipeline.render_virtual_lidar(
-                trainer.state.params, origin, t01 * pipeline.outputs.duration,
-                channels=channels, azim_res_deg=azim_res,
-                drop_threshold=drop_threshold, edits_vec=_edits_vec(edits),
-            )
-
-        def export_fn():
-            from neurad_tpu.scripts.export import export_pointcloud
-
-            path = run_dir / "viewer_export_pointcloud.ply"
-            export_pointcloud(pipeline, trainer.state, path)
-            return str(path)
-
-        ViewerServer(
-            render_fn, port=args.viewer_port, lidar_fn=lidar_fn, export_fn=export_fn
-        ).start(background=True)
+        _start_viewer(pipeline, lambda: trainer.state, run_dir, args)
 
     metrics = trainer.train()
     print(f"[nt-train] done: {json.dumps(metrics)}")

@@ -1,6 +1,9 @@
 """nt-viewer: interactive browser viewer for a trained run.
 
-Counterpart of `ns-viewer` (`nerfstudio/scripts/viewer/run_viewer.py`).
+Counterpart of `ns-viewer` (`nerfstudio/scripts/viewer/run_viewer.py`). Works
+for both pipeline families: NeuRAD-style ray pipelines (chunked NFF render)
+and SplatAD (direct rasterization) — both expose
+`render_viewer_image` / `render_virtual_lidar` with traced actor-edit values.
 """
 
 from __future__ import annotations
@@ -16,41 +19,41 @@ def entrypoint(argv=None):
     parser.add_argument("--port", type=int, default=7007)
     args = parser.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
-
-    from neurad_tpu.cameras.cameras import CameraType, Cameras, full_image_coords, generate_rays
-    from neurad_tpu.core.structs import tree_getitem
-    from neurad_tpu.models.neurad import NeuRADModel
     from neurad_tpu.scripts.eval import load_run
     from neurad_tpu.viewer.server import ViewerServer
 
     pipeline, state, _ = load_run(args.run_dir)
     duration = pipeline.outputs.duration
 
-    def render_fn(c2w: np.ndarray, width: int, height: int, t01: float) -> np.ndarray:
-        focal = 0.7 * width
-        cams = Cameras(
-            camera_to_worlds=jnp.asarray(c2w)[None],
-            fx=jnp.full((1, 1), focal),
-            fy=jnp.full((1, 1), focal),
-            cx=jnp.full((1, 1), width / 2.0),
-            cy=jnp.full((1, 1), height / 2.0),
-            width=jnp.full((1, 1), width, dtype=jnp.int32),
-            height=jnp.full((1, 1), height, dtype=jnp.int32),
-            camera_type=jnp.full((1, 1), int(CameraType.PERSPECTIVE), dtype=jnp.int32),
-            times=jnp.full((1, 1), t01 * duration),
+    def _edits_vec(edits):
+        if not edits:
+            return None
+        return np.asarray(
+            [
+                edits.get("lateral", 0.0), edits.get("longitudinal", 0.0),
+                edits.get("rotation", 0.0), edits.get("height", 0.0),
+            ],
+            dtype=np.float32,
         )
-        coords = full_image_coords(height, width)
-        bundle = generate_rays(cams, jnp.zeros(coords.shape[0], dtype=jnp.int32), coords)
-        nff = pipeline._chunked_nff(state.params, bundle, all_camera=True)
-        features = nff["features"]
-        rgb = pipeline.model.apply(
-            state.params, features, (height, width), height * width, method=NeuRADModel.decode_features
-        )[0]
-        return np.asarray(rgb[0])
 
-    server = ViewerServer(render_fn, port=args.port)
+    def render_fn(c2w, width, height, t01, edits=None):
+        return pipeline.render_viewer_image(
+            state.params, c2w, width, height, t01 * duration, _edits_vec(edits)
+        )
+
+    lidar_fn = None
+    if hasattr(pipeline, "render_virtual_lidar"):
+
+        def lidar_fn(t01, channels, azim_res, drop_threshold, edits=None):
+            origin = np.asarray(pipeline.outputs.cameras.camera_to_worlds)[:, :3, 3].mean(0)
+            origin[2] += 0.5
+            return pipeline.render_virtual_lidar(
+                state.params, origin, t01 * duration,
+                channels=channels, azim_res_deg=azim_res,
+                drop_threshold=drop_threshold, edits_vec=_edits_vec(edits),
+            )
+
+    server = ViewerServer(render_fn, port=args.port, lidar_fn=lidar_fn)
     server.start(background=False)
 
 

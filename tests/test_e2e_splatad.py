@@ -50,6 +50,31 @@ def test_splatad_eval(pipeline):
     assert "depth_median_l2" in metrics and np.isfinite(metrics["depth_median_l2"])
 
 
+def test_splatad_viewer_render_paths(pipeline):
+    """SplatAD viewer rendering: camera image at an arbitrary pose with traced
+    actor-edit values (no recompile per slider move) and the virtual-lidar
+    point cloud path (counterpart of the reference's render_state_machine +
+    splatad RS/actor-edit sliders)."""
+    state = getattr(pipeline, "_test_state", None) or pipeline.init_state()
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[:3, 3] = [5.0, 0.0, 2.0]
+
+    img0 = pipeline.render_viewer_image(state.params, c2w, 48, 32, time=1.0)
+    assert img0.shape == (32, 48, 3) and np.isfinite(img0).all()
+    img1 = pipeline.render_viewer_image(
+        state.params, c2w, 48, 32, time=1.0, edits_vec=[3.0, 0.0, 0.5, 0.0]
+    )
+    assert len(pipeline._viewer_applies) == 1  # traced edits: same jit cache entry
+    assert img1.shape == img0.shape
+
+    pts = pipeline.render_virtual_lidar(
+        state.params, np.array([5.0, 0.0, 2.0]), time=1.0,
+        channels=8, azim_res_deg=20.0, drop_threshold=1.1,
+    )
+    assert pts.ndim == 2 and pts.shape[1] == 4
+    assert pts.shape[0] > 0  # threshold > 1 keeps every ray
+
+
 def test_default_strategy_camera_training():
     """splatad with ADDefaultStrategy: camera steps accumulate absgrad stats and
     refine runs grow/prune without shape changes."""
