@@ -342,6 +342,52 @@ class SplatADPipeline:
             self._viewer_applies[key](params, jnp.asarray(c2w, jnp.float32), float(time), ev)
         )
 
+    def render_eval_camera(self, state: TrainState, cam_idx: int, edits=None):
+        """Full-image render -> (pred rgb, gt rgb); same contract as
+        ADPipeline.render_eval_camera so nt-render works on splatad runs."""
+        s = self.datamanager._camera_sample(cam_idx)
+        out = self.model.apply(
+            state.params,
+            jnp.asarray(s.c2w), jnp.asarray(s.K), s.width, s.height,
+            jnp.asarray(s.time), jnp.asarray(s.sensor_idx), jnp.asarray(s.cam_idx),
+            cam_linear_vel=jnp.asarray(s.linear_velocity),
+            rolling_shutter_time=s.rolling_shutter_time,
+            time_to_center_pixel=s.time_to_center_pixel,
+            edits=edits,
+            method=SplatADModel.get_camera_outputs,
+        )
+        return np.asarray(out["rgb"]), s.image
+
+    def render_eval_lidar(self, state: TrainState, scan_idx: int) -> Dict[str, np.ndarray]:
+        """Lidar scan render with the same output keys as the ray pipeline's
+        (depth/intensity/ray_drop_logits/gt_*/origins/directions)."""
+        s = self.datamanager._lidar_sample(scan_idx)
+        out = self.model.apply(
+            state.params,
+            jnp.asarray(s.l2w), jnp.asarray(s.raster_pts), jnp.asarray(s.time),
+            jnp.asarray(s.sensor_idx), lidar_linear_vel=jnp.asarray(s.linear_velocity),
+            method=SplatADModel.get_lidar_outputs,
+        )
+        azim = np.deg2rad(s.raster_pts[:, 0])
+        elev = np.deg2rad(s.raster_pts[:, 1])
+        dirs_l = np.stack(
+            [np.cos(elev) * np.cos(azim), np.cos(elev) * np.sin(azim), np.sin(elev)], axis=-1
+        )
+        l2w = np.asarray(s.l2w)
+        dirs = dirs_l @ l2w[:3, :3].T
+        origins = np.broadcast_to(l2w[:3, 3], dirs.shape)
+        valid = np.asarray(s.valid)
+        return {
+            "depth": np.asarray(out["depth"]),
+            "intensity": np.asarray(out["intensity"]),
+            "ray_drop_logits": np.asarray(out["ray_drop_logits"]),
+            "gt_distance": s.raster_pts[:, 2:3],
+            "gt_intensity": s.raster_pts[:, 4:5],
+            "did_return": np.asarray(s.did_return & valid)[:, None],
+            "origins": np.asarray(origins),
+            "directions": dirs,
+        }
+
     def render_virtual_lidar(
         self, params, origin: np.ndarray, time: float, channels: int = 32,
         azim_res_deg: float = 1.0, fov_up: float = 5.0, fov_down: float = -15.0,

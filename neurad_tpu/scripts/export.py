@@ -28,12 +28,12 @@ def write_ply(path: Path, fields: dict):
 
 
 def export_pointcloud(pipeline, state, out_path: Path, num_rays: int = 50000):
-    """Render eval lidar scans and dump predicted points (`exporter.py:50-200`)."""
+    """Render eval lidar scans and dump predicted points (`exporter.py:50-200`).
+    Works for both pipeline families via the shared render_eval_lidar keys."""
     pts, cols = [], []
     for si in pipeline.outputs.eval_lidar_indices:
         out = pipeline.render_eval_lidar(state, si)
-        bundle, _ = pipeline.datamanager.eval_lidar_bundle(si)
-        xyz = np.asarray(bundle.origins + bundle.directions * out["depth"])
+        xyz = np.asarray(out["origins"]) + np.asarray(out["directions"]) * np.asarray(out["depth"])
         keep = out["depth"][:, 0] < 1e3
         pts.append(xyz[keep])
         cols.append(np.repeat(out["intensity"][keep], 3, axis=-1))
