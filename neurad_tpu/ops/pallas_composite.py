@@ -35,6 +35,22 @@ from jax.experimental.pallas import tpu as pltpu
 _C_PAD = 128  # feature lane padding
 
 
+def _exclusive_prefix_prod_sublane(x):
+    """Exclusive prefix product along axis 0 (sublanes) of [K, P], K a power
+    of two: Hillis-Steele with static sublane shifts — log2(K) vectorized
+    multiplies instead of a serial K-loop."""
+    k = x.shape[0]
+    # inclusive scan
+    s = 1
+    prod = x
+    while s < k:
+        shifted = jnp.concatenate([jnp.ones((s,) + x.shape[1:], x.dtype), prod[:-s]], axis=0)
+        prod = prod * shifted
+        s *= 2
+    # exclusive = inclusive shifted down by one
+    return jnp.concatenate([jnp.ones((1,) + x.shape[1:], x.dtype), prod[:-1]], axis=0)
+
+
 def _composite_fwd_kernel(pix_ref, times_ref, gattr_ref, feats_ref, feat_out_ref, depth_out_ref, alpha_out_ref):
     pix_x = pix_ref[0, 0, :]  # [P]
     pix_y = pix_ref[0, 1, :]
@@ -60,40 +76,18 @@ def _composite_fwd_kernel(pix_ref, times_ref, gattr_ref, feats_ref, feat_out_ref
     alpha = jnp.where((valid > 0) & (alpha >= 1.0 / 255.0), alpha, 0.0)  # [K, P]
     g_depth = depth + dvel * t[None, :]  # [K, P]
 
-    k_total, p = alpha.shape
-
-    def scoped(alpha_sc, depth_sc):
-        alpha_sc[:] = alpha
-        depth_sc[:] = g_depth
-
-        def body(k, carry):
-            trans, feat_acc, depth_acc, alpha_acc = carry
-            a_k = alpha_sc[pl.ds(k, 1), :][0]  # [P]
-            w = a_k * trans  # [P]
-            f_k = feats_ref[0, pl.ds(k, 1), :]  # [1, 128]
-            feat_acc = feat_acc + w[:, None] * f_k
-            d_k = depth_sc[pl.ds(k, 1), :][0]
-            depth_acc = depth_acc + w * d_k
-            alpha_acc = alpha_acc + w
-            trans = trans * (1.0 - a_k)
-            return trans, feat_acc, depth_acc, alpha_acc
-
-        init = (
-            jnp.ones((p,), jnp.float32),
-            jnp.zeros((p, _C_PAD), jnp.float32),
-            jnp.zeros((p,), jnp.float32),
-            jnp.zeros((p,), jnp.float32),
-        )
-        _, feat_acc, depth_acc, alpha_acc = jax.lax.fori_loop(0, k_total, body, init)
-        feat_out_ref[0] = feat_acc
-        depth_out_ref[0, 0, :] = depth_acc
-        alpha_out_ref[0, 0, :] = alpha_acc
-
-    pl.run_scoped(
-        scoped,
-        alpha_sc=pltpu.VMEM((k_total, p), jnp.float32),
-        depth_sc=pltpu.VMEM((k_total, p), jnp.float32),
-    )
+    # fully vectorized composite: log-step prefix product for transmittance,
+    # one MXU contraction for the features, sublane reductions for the rest
+    # (the serial per-K loop this replaces measured 3x slower than XLA)
+    trans = _exclusive_prefix_prod_sublane(1.0 - alpha)  # [K, P]
+    w = alpha * trans  # [K, P]
+    feat_out_ref[0] = jax.lax.dot_general(
+        w, feats_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [P, 128]
+    depth_out_ref[0, 0, :] = jnp.sum(w * g_depth, axis=0)
+    alpha_out_ref[0, 0, :] = jnp.sum(w, axis=0)
 
 
 def _run_fwd(pix, times, means, vel, conics, opac, feats, depth, dvel, valid):
