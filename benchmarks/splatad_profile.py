@@ -154,7 +154,8 @@ def main():
 
     for name, fn, kw in (
         ("lidar fwd+bwd per-point (65k pts)", GR.rasterize_lidar_points, {}),
-        ("lidar fwd+bwd tiled (65k pts, default)", GR.rasterize_lidar_points_tiled, {"pts_per_tile": 128}),
+        ("lidar fwd+bwd tiled hybrid", GR.rasterize_lidar_points_tiled, {"pts_per_tile": 128, "backend": "hybrid"}),
+        ("lidar fwd+bwd tiled pallas", GR.rasterize_lidar_points_tiled, {"pts_per_tile": 128, "backend": "pallas"}),
     ):
         try:
             report(name, timeit(make_lidar(fn, **kw), means, scales))

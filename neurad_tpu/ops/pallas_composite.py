@@ -362,6 +362,108 @@ hybrid_tile_composite.defvjp(_hybrid_fwd, _hybrid_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _inclusive_prefix_sum_sublane(x):
+    """Inclusive prefix sum along axis 0 (sublanes): Hillis-Steele log-step."""
+    k = x.shape[0]
+    s = 1
+    acc = x
+    while s < k:
+        shifted = jnp.concatenate([jnp.zeros((s,) + x.shape[1:], x.dtype), acc[:-s]], axis=0)
+        acc = acc + shifted
+        s *= 2
+    return acc
+
+
+def _make_lidar_fwd_kernel(wrap: bool, depth_eps: float, compute_until: bool):
+    """Vectorized lidar forward: same math as `_lidar_composite_xla` but the
+    [K, P] alpha/transmittance/weight tensors stay in VMEM (log-step scans, one
+    MXU feature contraction, mask-based median — no argmax)."""
+
+    def kernel(pix_ref, times_ref, gattr_ref, feats_ref,
+               feat_out_ref, depth_out_ref, acc_out_ref, until_out_ref, med_out_ref):
+        pix_x = pix_ref[0, 0, :]  # [P] azimuth (deg)
+        pix_y = pix_ref[0, 1, :]  # elevation
+        gt = pix_ref[0, 2, :]  # gt depth
+        vmask = pix_ref[0, 3, :]  # slot validity
+        t = times_ref[0, 0, :]
+        ga = gattr_ref[0]  # [11, K]
+        mean_x, mean_y = ga[0][:, None], ga[1][:, None]
+        vel_x, vel_y = ga[2][:, None], ga[3][:, None]
+        con_a, con_b, con_c = ga[4][:, None], ga[5][:, None], ga[6][:, None]
+        opac, depth, dvel, valid = ga[7][:, None], ga[8][:, None], ga[9][:, None], ga[10][:, None]
+
+        dx = pix_x[None, :] - (mean_x + vel_x * t[None, :])  # [K, P]
+        if wrap:
+            dx = jnp.mod(dx + 180.0, 360.0) - 180.0
+        dy = pix_y[None, :] - (mean_y + vel_y * t[None, :])
+        sigma = jnp.clip(0.5 * (con_a * dx * dx + con_c * dy * dy) + con_b * dx * dy, 0.0, 50.0)
+        alpha = jnp.clip(opac * jnp.exp(-sigma), 0.0, 0.999)
+        alpha = jnp.where((valid > 0) & (alpha >= 1.0 / 255.0) & (vmask[None, :] > 0), alpha, 0.0)
+
+        trans = _exclusive_prefix_prod_sublane(1.0 - alpha)
+        w = alpha * trans  # [K, P]
+        g_depth = depth + dvel * t[None, :]  # [K, P]
+
+        feat_out_ref[0] = jax.lax.dot_general(
+            w, feats_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = jnp.sum(w, axis=0)  # [P]
+        depth_out_ref[0, 0, :] = jnp.sum(w * g_depth, axis=0)
+        acc_out_ref[0, 0, :] = acc
+        if compute_until:
+            before = (g_depth < (gt[None, :] - depth_eps)).astype(jnp.float32)
+            until_out_ref[0, 0, :] = jnp.sum(w * before, axis=0)
+        else:
+            until_out_ref[0, 0, :] = jnp.zeros_like(acc)
+        # median depth = depth of the first gaussian whose inclusive weight
+        # prefix crosses half the total (mask-select, no argmax; float masks —
+        # bool sublane concats don't lower in Mosaic)
+        cum_w = _inclusive_prefix_sum_sublane(w)
+        crossed = (cum_w >= 0.5 * acc[None, :]).astype(jnp.float32)
+        prev = jnp.concatenate([jnp.zeros((1,) + crossed.shape[1:], jnp.float32), crossed[:-1]], axis=0)
+        first = crossed * (1.0 - prev)
+        med_out_ref[0, 0, :] = jnp.sum(g_depth * first, axis=0)
+
+    return kernel
+
+
+def run_lidar_fwd(wrap, depth_eps, compute_until, pts_slot, vmask, means, vel, conics, opac,
+                  feats, depth, dvel, valid):
+    """[T,...] tiled lidar inputs -> (feat [T,P,C], depth/acc/until/med [T,P,1])."""
+    t_total, p = pts_slot.shape[0], pts_slot.shape[1]
+    k = means.shape[1]
+    c = feats.shape[-1]
+
+    pix_kp = jnp.stack(
+        [pts_slot[..., 0], pts_slot[..., 1], pts_slot[..., 2], vmask.astype(jnp.float32)], axis=1
+    )  # [T, 4, P]
+    times_kp = pts_slot[..., 3][:, None, :]
+    gattr = jnp.stack(
+        [
+            means[..., 0], means[..., 1], vel[..., 0], vel[..., 1],
+            conics[..., 0], conics[..., 1], conics[..., 2],
+            opac, depth, dvel, valid.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [T, 11, K]
+    feats_pad = jnp.pad(feats, ((0, 0), (0, 0), (0, _C_PAD - c)))
+
+    spec = lambda last: pl.BlockSpec((1,) + last, lambda i: (i,) + (0,) * len(last), memory_space=pltpu.VMEM)
+    feat_p, dep_p, acc_p, until_p, med_p = pl.pallas_call(
+        _make_lidar_fwd_kernel(wrap, depth_eps, compute_until),
+        grid=(t_total,),
+        in_specs=[spec((4, p)), spec((1, p)), spec((11, k)), spec((k, _C_PAD))],
+        out_specs=[spec((p, _C_PAD))] + [spec((1, p))] * 4,
+        out_shape=[jax.ShapeDtypeStruct((t_total, p, _C_PAD), jnp.float32)]
+        + [jax.ShapeDtypeStruct((t_total, 1, p), jnp.float32)] * 4,
+        interpret=jax.default_backend() == "cpu",
+    )(pix_kp, times_kp, gattr, feats_pad)
+    sw = lambda x: jnp.swapaxes(x, 1, 2)
+    return feat_p[..., :c], sw(dep_p), sw(acc_p), sw(until_p), sw(med_p)
+
+
 def _make_lidar_bwd_kernel(wrap: bool, depth_eps: float):
     def kernel(pix_ref, times_ref, gattr_ref, feats_ref, gf_ref, gd_ref, ga_ref, gu_ref,
                dgattr_ref, dfeats_ref):

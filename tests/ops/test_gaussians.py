@@ -285,8 +285,9 @@ def test_lidar_tiled_matches_pointwise():
 
     g_ref = jax.grad(loss_ref)(opac)
 
-    # 'hybrid' runs the fused Pallas backward (interpret mode on CPU)
-    for backend in ("xla", "hybrid"):
+    # 'hybrid' runs the fused Pallas backward, 'pallas' additionally the
+    # vectorized Pallas forward (interpret mode on CPU)
+    for backend in ("xla", "hybrid", "pallas"):
         out = rasterize_lidar_points_tiled(
             proj, feats, opac, pts, pts_per_tile=16, tile_chunk=256, backend=backend, **kw
         )
