@@ -212,7 +212,8 @@ class ADPipeline:
 
             self._viewer_applies[key] = fn
 
-        ev = jnp.zeros(4) if edits_vec is None else jnp.asarray(edits_vec, jnp.float32)
+        # accept 4- or 5-element vectors (the 5th is the splatad-only RS edit)
+        ev = jnp.zeros(4) if edits_vec is None else jnp.asarray(edits_vec, jnp.float32)[:4]
         return np.asarray(self._viewer_applies[key](params, jnp.asarray(c2w, jnp.float32), float(time), ev))
 
     def render_virtual_lidar(
@@ -267,7 +268,7 @@ class ADPipeline:
 
             self._viewer_lidar_applies[n] = fn
 
-        ev = jnp.zeros(4) if edits_vec is None else jnp.asarray(edits_vec, jnp.float32)
+        ev = jnp.zeros(4) if edits_vec is None else jnp.asarray(edits_vec, jnp.float32)[:4]
         origins = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), (n, 3))
         depth, intensity, ray_drop = self._viewer_lidar_applies[n](
             params, origins, jnp.asarray(dirs), float(time), ev

@@ -330,6 +330,9 @@ class SplatADPipeline:
                 out = self.model.apply(
                     params, c2w[:3], K, width, height, t,
                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                    # RS-edit slider (reference `splatad.py:466-532`): traced
+                    # rolling-shutter duration, costs nothing at 0
+                    rolling_shutter_time=ev[4],
                     edits=edits,
                     method=SplatADModel.get_camera_outputs,
                 )
@@ -337,7 +340,9 @@ class SplatADPipeline:
 
             self._viewer_applies[key] = fn
 
-        ev = jnp.zeros(4) if edits_vec is None else jnp.asarray(edits_vec, jnp.float32)
+        ev = jnp.zeros(5) if edits_vec is None else jnp.pad(
+            jnp.asarray(edits_vec, jnp.float32), (0, max(0, 5 - len(edits_vec)))
+        )
         return np.asarray(
             self._viewer_applies[key](params, jnp.asarray(c2w, jnp.float32), float(time), ev)
         )
@@ -422,7 +427,7 @@ class SplatADPipeline:
 
             self._viewer_lidar_applies[n] = fn
 
-        ev = jnp.zeros(4) if edits_vec is None else jnp.asarray(edits_vec, jnp.float32)
+        ev = jnp.zeros(4) if edits_vec is None else jnp.asarray(edits_vec, jnp.float32)[:4]
         l2w = jnp.eye(4)[:3].at[:, 3].set(jnp.asarray(origin, jnp.float32))
         depth, intensity, drop_logits = self._viewer_lidar_applies[n](
             params, l2w, jnp.asarray(pts), float(time), ev

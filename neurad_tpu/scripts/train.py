@@ -105,6 +105,7 @@ def entrypoint(argv=None):
             return np.asarray([
                 edits.get("lateral", 0.0), edits.get("longitudinal", 0.0),
                 edits.get("rotation", 0.0), edits.get("height", 0.0),
+                edits.get("rs", 0.0),  # rolling-shutter slider (splatad only)
             ], dtype=np.float32)
 
         def render_fn(c2w, width, height, t01, edits=None):

@@ -32,6 +32,7 @@ def entrypoint(argv=None):
             [
                 edits.get("lateral", 0.0), edits.get("longitudinal", 0.0),
                 edits.get("rotation", 0.0), edits.get("height", 0.0),
+                edits.get("rs", 0.0),  # rolling-shutter slider (splatad only)
             ],
             dtype=np.float32,
         )

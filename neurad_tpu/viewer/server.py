@@ -45,6 +45,7 @@ button { background:#333; color:#eee; border:1px solid #666; border-radius:4px; 
     <div class="row">rotation <input type="range" id="ed_rot" min="-3.14" max="3.14" step="0.05" value="0"><span id="v_rot">0</span>rad</div>
     <div class="row">height <input type="range" id="ed_hei" min="-2" max="2" step="0.1" value="0"><span id="v_hei">0</span>m</div>
     <div class="row">actor index <input type="number" id="ed_idx" min="-1" value="-1" style="width:50px"> (-1 = all)</div>
+    <div class="row">rolling shutter <input type="range" id="ed_rs" min="-0.05" max="0.05" step="0.005" value="0"><span id="v_rs">0</span>s</div>
   </details>
   <details><summary>virtual lidar</summary>
     <div class="row"><label><input type="checkbox" id="lidar_on"> show point cloud</label></div>
@@ -63,7 +64,7 @@ let az = 0.5, el = 0.3, dist = 30, target = [10, 0, 1], drag = null, timer = nul
 let t01 = 0, lidarPts = null;
 function edits() {
   return {lateral: +ed_lat.value, longitudinal: +ed_lon.value, rotation: +ed_rot.value,
-          height: +ed_hei.value, index: parseInt(ed_idx.value)};
+          height: +ed_hei.value, index: parseInt(ed_idx.value), rs: +ed_rs.value};
 }
 function pose() {
   const ce = Math.cos(el), se = Math.sin(el), ca = Math.cos(az), sa = Math.sin(az);
@@ -123,7 +124,7 @@ window.onmousemove = e => {
   queueRender();
 };
 window.onwheel = e => { dist = Math.max(2, dist * (1 + e.deltaY*0.001)); queueRender(); };
-for (const [id, lab] of [['time','tv'],['ed_lat','v_lat'],['ed_lon','v_lon'],['ed_rot','v_rot'],['ed_hei','v_hei'],['li_dt','v_dt']]) {
+for (const [id, lab] of [['time','tv'],['ed_lat','v_lat'],['ed_lon','v_lon'],['ed_rot','v_rot'],['ed_hei','v_hei'],['ed_rs','v_rs'],['li_dt','v_dt']]) {
   document.getElementById(id).oninput = e => {
     document.getElementById(lab).textContent = (+e.target.value).toFixed(2);
     if (id === 'time') t01 = +e.target.value;

@@ -62,10 +62,10 @@ def test_splatad_viewer_render_paths(pipeline):
     img0 = pipeline.render_viewer_image(state.params, c2w, 48, 32, time=1.0)
     assert img0.shape == (32, 48, 3) and np.isfinite(img0).all()
     img1 = pipeline.render_viewer_image(
-        state.params, c2w, 48, 32, time=1.0, edits_vec=[3.0, 0.0, 0.5, 0.0]
+        state.params, c2w, 48, 32, time=1.0, edits_vec=[3.0, 0.0, 0.5, 0.0, 0.02]
     )
-    assert len(pipeline._viewer_applies) == 1  # traced edits: same jit cache entry
-    assert img1.shape == img0.shape
+    assert len(pipeline._viewer_applies) == 1  # traced edits (incl. RS): same jit cache entry
+    assert img1.shape == img0.shape and np.isfinite(img1).all()
 
     pts = pipeline.render_virtual_lidar(
         state.params, np.array([5.0, 0.0, 2.0]), time=1.0,
