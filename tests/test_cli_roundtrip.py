@@ -1,0 +1,38 @@
+"""CLI round trip: nt-train writes a run dir + checkpoint, load_run restores
+the TRAINED state for the right pipeline class, nt-eval emits metrics.
+
+Covers the layer the golden-regression test does not: config.json metadata,
+Orbax save in every train-loop family (ray / splatad), and the eval-side
+restore dispatch (`utils/eval_utils.py:eval_setup` in the reference)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from neurad_tpu.scripts.eval import load_run
+from neurad_tpu.scripts.train import entrypoint as train_entrypoint
+
+
+@pytest.mark.parametrize("method,pipeline_cls", [
+    ("neurad-tiny", "ADPipeline"),
+    ("splatad-tiny", "SplatADPipeline"),
+])
+def test_train_then_load_run(tmp_path, method, pipeline_cls):
+    out = tmp_path / "runs"
+    train_entrypoint([
+        method, "--max-iterations", "4", "--output-dir", str(out),
+        "--experiment-name", f"rt-{method}", "--no-mesh",
+    ])
+    run_dir = out / f"rt-{method}"
+    assert (run_dir / "config.json").exists()
+    meta = json.loads((run_dir / "config.json").read_text())
+    assert meta["method"] == method
+    assert (run_dir / "checkpoints").exists()
+
+    pipeline, state, step = load_run(str(run_dir))
+    assert type(pipeline).__name__ == pipeline_cls
+    assert step is not None and step >= 4  # final checkpoint saved
+    # restored state is usable: eval produces finite metrics
+    metrics = pipeline.eval_metrics(state)
+    assert metrics and all(np.isfinite(v) for v in metrics.values())
