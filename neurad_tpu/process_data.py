@@ -102,7 +102,7 @@ def entrypoint(argv=None):
     parser = argparse.ArgumentParser(description="Ingest captures into a dataset")
     parser.add_argument(
         "mode",
-        choices=["video", "images", "transforms", "polycam", "record3d", "metashape", "odm"],
+        choices=["video", "images", "transforms", "colmap", "polycam", "record3d", "metashape", "odm"],
     )
     parser.add_argument("source")
     parser.add_argument("--output-dir", default="data/processed")
@@ -123,7 +123,9 @@ def entrypoint(argv=None):
         from neurad_tpu import process_data_converters as C
 
         src = args.source
-        if args.mode == "polycam":
+        if args.mode == "colmap":
+            data = C.colmap_to_transforms(src, args.output_dir)
+        elif args.mode == "polycam":
             imgs = sorted(os.listdir(os.path.join(src, "keyframes", "images")))
             data = C.polycam_to_transforms(
                 os.path.join(src, "keyframes", "cameras"), imgs, args.output_dir

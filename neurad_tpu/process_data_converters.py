@@ -53,6 +53,152 @@ def rodrigues_to_matrix(rvec: np.ndarray) -> np.ndarray:
     return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
 
 
+# --------------------------------------------------------------------------
+# COLMAP sparse-reconstruction parsing (binary + text model formats)
+# Reference: `nerfstudio/data/utils/colmap_parsing_utils.py` (COLMAP's own
+# read_write_model.py) + `process_data/colmap_utils.py:187-470`. Formats per
+# https://colmap.github.io/format.html.
+# --------------------------------------------------------------------------
+
+_COLMAP_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4), 2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5), 4: ("OPENCV", 8), 5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12), 7: ("FOV", 5), 8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5), 10: ("THIN_PRISM_FISHEYE", 12),
+}
+
+
+def read_colmap_cameras(path: Path) -> Dict[int, dict]:
+    """cameras.bin or cameras.txt -> {camera_id: {model, width, height, params}}."""
+    import struct
+
+    path = Path(path)
+    cams = {}
+    if path.suffix == ".txt":
+        for line in path.read_text().splitlines():
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cams[int(parts[0])] = {
+                "model": parts[1], "width": int(parts[2]), "height": int(parts[3]),
+                "params": [float(x) for x in parts[4:]],
+            }
+        return cams
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n):
+            cam_id, model_id, w, h = struct.unpack("<iiQQ", f.read(24))
+            name, np_ = _COLMAP_MODELS[model_id]
+            params = struct.unpack(f"<{np_}d", f.read(8 * np_))
+            cams[cam_id] = {"model": name, "width": w, "height": h, "params": list(params)}
+    return cams
+
+
+def read_colmap_images(path: Path) -> Dict[int, dict]:
+    """images.bin or images.txt -> {image_id: {qvec wxyz, tvec, camera_id, name}}."""
+    import struct
+
+    path = Path(path)
+    imgs = {}
+    if path.suffix == ".txt":
+        lines = [l for l in path.read_text().splitlines() if l and not l.startswith("#")]
+        for meta in lines[::2]:  # every other line is the 2D-point list
+            p = meta.split()
+            imgs[int(p[0])] = {
+                "qvec": np.array([float(x) for x in p[1:5]]),
+                "tvec": np.array([float(x) for x in p[5:8]]),
+                "camera_id": int(p[8]), "name": p[9],
+            }
+        return imgs
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n):
+            (image_id,) = struct.unpack("<i", f.read(4))
+            q = struct.unpack("<4d", f.read(32))
+            t = struct.unpack("<3d", f.read(24))
+            (camera_id,) = struct.unpack("<i", f.read(4))
+            name = b""
+            while True:
+                c = f.read(1)
+                if c == b"\x00":
+                    break
+                name += c
+            (n_pts,) = struct.unpack("<Q", f.read(8))
+            f.read(24 * n_pts)  # skip (x, y, point3D_id) triplets
+            imgs[image_id] = {
+                "qvec": np.array(q), "tvec": np.array(t),
+                "camera_id": camera_id, "name": name.decode("utf-8"),
+            }
+    return imgs
+
+
+def _qvec_wxyz_to_matrix(q: np.ndarray) -> np.ndarray:
+    """COLMAP scalar-FIRST quaternion -> rotation matrix."""
+    w, x, y, z = q / np.linalg.norm(q)
+    return quat_xyzw_to_matrix(np.array([[x, y, z, w]]))[0]
+
+
+def _colmap_intrinsics(cam: dict) -> dict:
+    m, p = cam["model"], cam["params"]
+    out = {"w": cam["width"], "h": cam["height"], "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0}
+    if m in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL", "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"):
+        out.update(fl_x=p[0], fl_y=p[0], cx=p[1], cy=p[2])
+        if m in ("SIMPLE_RADIAL", "SIMPLE_RADIAL_FISHEYE"):
+            out["k1"] = p[3]
+        elif m in ("RADIAL", "RADIAL_FISHEYE"):
+            out["k1"], out["k2"] = p[3], p[4]
+    elif m in ("PINHOLE", "OPENCV", "OPENCV_FISHEYE", "FULL_OPENCV"):
+        out.update(fl_x=p[0], fl_y=p[1], cx=p[2], cy=p[3])
+        if m == "OPENCV":
+            out["k1"], out["k2"], out["p1"], out["p2"] = p[4:8]
+        elif m == "OPENCV_FISHEYE":
+            out["k1"], out["k2"] = p[4], p[5]
+            out["k3"], out["k4"] = p[6], p[7]
+        elif m == "FULL_OPENCV":
+            out["k1"], out["k2"], out["p1"], out["p2"] = p[4:8]
+            out["k3"], out["k4"] = p[8], p[9]
+    else:
+        raise ValueError(f"unsupported COLMAP camera model {m!r}")
+    out["camera_model"] = "OPENCV_FISHEYE" if "FISHEYE" in m else "OPENCV"
+    return out
+
+
+def colmap_to_transforms(recon_dir: Path, output_dir: Path) -> dict:
+    """COLMAP sparse model dir (cameras/images .bin or .txt) -> transforms.json
+    (`colmap_utils.py:404-480` colmap_to_json): w2c inverted to OpenGL c2w,
+    world rows permuted (0, 2, 1) with the new z row negated."""
+    recon_dir = Path(recon_dir)
+    def find(stem):
+        for ext in (".bin", ".txt"):
+            if (recon_dir / f"{stem}{ext}").exists():
+                return recon_dir / f"{stem}{ext}"
+        raise FileNotFoundError(f"no {stem}.bin/.txt under {recon_dir}")
+
+    cams = read_colmap_cameras(find("cameras"))
+    imgs = read_colmap_images(find("images"))
+    if len(set(i["camera_id"] for i in imgs.values())) > 1:
+        raise ValueError("only a single shared camera is supported (like the reference)")
+    intr = _colmap_intrinsics(next(iter(cams.values())))
+
+    frames = []
+    for im_id, im in sorted(imgs.items()):
+        w2c = np.eye(4)
+        w2c[:3, :3] = _qvec_wxyz_to_matrix(im["qvec"])
+        w2c[:3, 3] = im["tvec"]
+        c2w = np.linalg.inv(w2c)
+        c2w[0:3, 1:3] *= -1  # OpenCV -> OpenGL camera axes
+        c2w = c2w[np.array([0, 2, 1, 3]), :]  # gravity-aligned world
+        c2w[2, :] *= -1
+        frames.append({
+            "file_path": f"./images/{im['name']}",
+            "transform_matrix": c2w.tolist(),
+            "colmap_im_id": im_id,
+        })
+    data = {**intr, "frames": frames}
+    _write(output_dir, data)
+    return data
+
+
 def polycam_to_transforms(
     cameras_dir: Path,
     image_names: List[str],

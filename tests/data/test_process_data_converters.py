@@ -29,6 +29,60 @@ def test_rodrigues_matches_small_angle_and_90deg():
     np.testing.assert_allclose(R @ np.array([1.0, 0, 0]), [0, 1, 0], atol=1e-12)
 
 
+def _write_colmap_bin(recon, qvec, tvec):
+    import struct
+
+    with open(recon / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 4, 640, 480))  # OPENCV model
+        f.write(struct.pack("<8d", 500.0, 510.0, 320.0, 240.0, 0.1, 0.01, 0.001, 0.002))
+    with open(recon / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<i", 7))
+        f.write(struct.pack("<4d", *qvec))
+        f.write(struct.pack("<3d", *tvec))
+        f.write(struct.pack("<i", 1))
+        f.write(b"im0.jpg\x00")
+        f.write(struct.pack("<Q", 2))  # two 2D points (skipped by the parser)
+        f.write(struct.pack("<2dq", 1.0, 2.0, -1) + struct.pack("<2dq", 3.0, 4.0, 5))
+
+
+def test_colmap_binary(tmp_path):
+    """COLMAP binary model parse + OpenGL/world conversion (identity pose)."""
+    _write_colmap_bin(tmp_path, qvec=(1.0, 0.0, 0.0, 0.0), tvec=(1.0, 2.0, 3.0))
+    data = C.colmap_to_transforms(tmp_path, tmp_path)
+    assert data["fl_x"] == 500.0 and data["fl_y"] == 510.0
+    assert data["k1"] == 0.1 and data["p2"] == 0.002
+    assert data["camera_model"] == "OPENCV"
+    f = data["frames"][0]
+    assert f["file_path"].endswith("im0.jpg") and f["colmap_im_id"] == 7
+    tm = np.asarray(f["transform_matrix"])
+    # identity rotation, w2c translation t -> c2w translation -t, then the
+    # world permutation (0, 2, 1) with the new z row negated
+    np.testing.assert_allclose(tm[:3, 3], [-1.0, -3.0, 2.0], atol=1e-12)
+    assert abs(np.linalg.det(tm[:3, :3])) == pytest.approx(1.0)
+
+
+def test_colmap_text(tmp_path):
+    (tmp_path / "cameras.txt").write_text(
+        "# comment\n1 SIMPLE_RADIAL 640 480 500 320 240 0.05\n"
+    )
+    (tmp_path / "images.txt").write_text(
+        "# comment\n7 1 0 0 0 0.5 0.5 0.5 1 im1.jpg\n1.0 2.0 -1\n"
+    )
+    data = C.colmap_to_transforms(tmp_path, tmp_path)
+    assert data["fl_x"] == 500.0 and data["k1"] == 0.05
+    assert len(data["frames"]) == 1
+    # matches the binary path for the same pose
+    _write_colmap_bin(tmp_path, qvec=(1.0, 0.0, 0.0, 0.0), tvec=(0.5, 0.5, 0.5))
+    data_bin = C.colmap_to_transforms(tmp_path, tmp_path)
+    np.testing.assert_allclose(
+        np.asarray(data["frames"][0]["transform_matrix"]),
+        np.asarray(data_bin["frames"][0]["transform_matrix"]),
+        atol=1e-12,
+    )
+
+
 def test_polycam(tmp_path):
     cams = tmp_path / "cameras"
     cams.mkdir()
