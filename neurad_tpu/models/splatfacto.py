@@ -32,6 +32,9 @@ class SplatfactoConfig:
     eps2d: float = 0.3
     ssim_lambda: float = 0.2
     background_color: Tuple[float, float, float] = (0.1490, 0.1647, 0.2157)
+    # same backend landscape as SplatAD: 'pallas' fwd+bwd VMEM kernels win the
+    # v5e A/B (PERFORMANCE.md); CPU mesh auto-falls back to 'xla' above 64 tiles
+    rasterize_backend: str = "pallas"
 
 
 def random_init_gaussians(num_points: int, extent: float = 10.0, seed: int = 0, sh_degree: int = 3):
@@ -106,6 +109,7 @@ class SplatfactoModel(nn.Module):
             tile_size=cfg.tile_size,
             max_per_tile=cfg.max_per_tile,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            backend=cfg.rasterize_backend,
         )
         bg = jnp.asarray(cfg.background_color)
         rgb = jnp.clip(rgb + (1.0 - alpha) * bg, 0.0, 1.0)
