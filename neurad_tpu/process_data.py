@@ -96,6 +96,82 @@ def load_transforms_json(path: str):
     return cameras, images
 
 
+def equirect_to_perspective(
+    img, fov_deg: float, theta_deg: float, phi_deg: float, out_h: int, out_w: int
+):
+    """Extract a pinhole view from an equirectangular panorama.
+
+    Counterpart of `process_data/equirect_utils.py:86-160` (equirect2persp):
+    pinhole rays rotated by yaw theta / pitch phi, mapped to (lon, lat), the
+    panorama sampled bilinearly with horizontal wrap. img [H, W, C] float/uint8.
+    """
+    import numpy as np
+
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    f = 0.5 * out_w / np.tan(np.deg2rad(fov_deg) / 2.0)
+    ys, xs = np.meshgrid(np.arange(out_h) + 0.5, np.arange(out_w) + 0.5, indexing="ij")
+    # camera rays: +x forward, +y right, +z up
+    d = np.stack(
+        [np.full_like(xs, f), xs - out_w / 2.0, -(ys - out_h / 2.0)], axis=-1
+    )
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    th, ph = np.deg2rad(theta_deg), np.deg2rad(phi_deg)
+    rot_yaw = np.array([
+        [np.cos(th), -np.sin(th), 0.0], [np.sin(th), np.cos(th), 0.0], [0.0, 0.0, 1.0]
+    ])
+    rot_pitch = np.array([
+        [np.cos(ph), 0.0, -np.sin(ph)], [0.0, 1.0, 0.0], [np.sin(ph), 0.0, np.cos(ph)]
+    ])
+    d = d @ (rot_yaw @ rot_pitch).T
+    lon = np.arctan2(d[..., 1], d[..., 0])  # [-pi, pi]
+    lat = np.arcsin(np.clip(d[..., 2], -1.0, 1.0))  # [-pi/2, pi/2]
+    # equirect pixel coords (lon wraps, lat clamps)
+    u = (lon / (2 * np.pi) + 0.5) * w - 0.5
+    v = (0.5 - lat / np.pi) * h - 0.5
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    fu, fv = u - u0, v - v0
+    u0m, u1m = u0 % w, (u0 + 1) % w
+    v0c, v1c = np.clip(v0, 0, h - 1), np.clip(v0 + 1, 0, h - 1)
+    imgf = img.astype(np.float32)
+    out = (
+        imgf[v0c, u0m] * ((1 - fu) * (1 - fv))[..., None]
+        + imgf[v0c, u1m] * (fu * (1 - fv))[..., None]
+        + imgf[v1c, u0m] * ((1 - fu) * fv)[..., None]
+        + imgf[v1c, u1m] * (fu * fv)[..., None]
+    )
+    return out.astype(img.dtype) if img.dtype == np.uint8 else out
+
+
+def generate_planar_projections(
+    img, fov_deg: float = 90.0, yaw_steps: int = 4, pitches=(0.0,), out_size=(480, 640)
+):
+    """Equirectangular panorama -> list of (crop, c2w [3,4]) pinhole views
+    (`equirect_utils.py:233-320` generate_planar_projections_from_equirectangular,
+    minus the disk walking). The c2w uses the same +x-forward camera frame as
+    `equirect_to_perspective`."""
+    import numpy as np
+
+    out_h, out_w = out_size
+    views = []
+    for phi in pitches:
+        for i in range(yaw_steps):
+            theta = 360.0 * i / yaw_steps
+            crop = equirect_to_perspective(img, fov_deg, theta, phi, out_h, out_w)
+            th, ph = np.deg2rad(theta), np.deg2rad(phi)
+            rot_yaw = np.array([
+                [np.cos(th), -np.sin(th), 0.0], [np.sin(th), np.cos(th), 0.0], [0.0, 0.0, 1.0]
+            ])
+            rot_pitch = np.array([
+                [np.cos(ph), 0.0, -np.sin(ph)], [0.0, 1.0, 0.0], [np.sin(ph), 0.0, np.cos(ph)]
+            ])
+            c2w = np.zeros((3, 4), np.float32)
+            c2w[:3, :3] = rot_yaw @ rot_pitch
+            views.append((crop, c2w))
+    return views
+
+
 def entrypoint(argv=None):
     import argparse
 

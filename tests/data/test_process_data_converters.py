@@ -170,6 +170,39 @@ def test_metashape(tmp_path):
     np.testing.assert_allclose(np.abs(np.linalg.det(tm[:3, :3])), 1.0, atol=1e-12)
 
 
+def test_equirect_to_perspective():
+    """Pinhole crops from an equirectangular panorama (`equirect_utils.py:86-160`):
+    the crop center lands on the (theta, phi) panorama pixel, and yaw wraps."""
+    from neurad_tpu.process_data import equirect_to_perspective, generate_planar_projections
+
+    h, w = 64, 128
+    # color encodes longitude: R ramps with u; G encodes latitude
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 0] = np.linspace(0, 1, w)[None, :]
+    img[..., 1] = np.linspace(0, 1, h)[:, None]
+
+    # theta=0 looks at lon 0 = panorama center column; phi=0 = equator row
+    crop = equirect_to_perspective(img, fov_deg=60.0, theta_deg=0.0, phi_deg=0.0, out_h=33, out_w=33)
+    assert crop.shape == (33, 33, 3)
+    assert abs(float(crop[16, 16, 0]) - 0.5) < 0.02  # center column
+    assert abs(float(crop[16, 16, 1]) - 0.5) < 0.02  # equator row
+    # theta=90 looks a quarter turn away -> R ~ 0.75 (or 0.25 depending on sign)
+    crop90 = equirect_to_perspective(img, 60.0, 90.0, 0.0, 33, 33)
+    assert abs(float(crop90[16, 16, 0]) - 0.5) > 0.2
+    # pitch up: G decreases (lat grows toward the top of the panorama)
+    crop_up = equirect_to_perspective(img, 60.0, 0.0, 30.0, 33, 33)
+    assert float(crop_up[16, 16, 1]) < 0.4
+    # seam crossing (theta=180) must not produce NaNs or zeros-only output
+    seam = equirect_to_perspective(img, 90.0, 180.0, 0.0, 33, 33)
+    assert np.isfinite(seam).all() and seam[..., 0].std() > 0.01
+
+    views = generate_planar_projections(img, fov_deg=90.0, yaw_steps=4, pitches=(0.0, 30.0))
+    assert len(views) == 8
+    for crop_i, c2w in views:
+        assert crop_i.shape == (480, 640, 3) and c2w.shape == (3, 4)
+        np.testing.assert_allclose(c2w[:3, :3] @ c2w[:3, :3].T, np.eye(3), atol=1e-6)
+
+
 def test_odm(tmp_path):
     (tmp_path / "cameras.json").write_text(json.dumps({
         "v2 cam": {"projection_type": "brown", "width": 640, "height": 480,
