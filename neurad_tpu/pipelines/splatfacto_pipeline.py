@@ -214,3 +214,20 @@ class SplatfactoPipeline:
             out = self.model.apply(state.params, c2w, K, w, h, method=SplatfactoModel.render)
             vals.append(float(L.psnr(out["rgb"], img)))
         return float(np.mean(vals)) if vals else float("nan")
+
+    def eval_metrics(self, state: TrainState) -> Dict[str, float]:
+        """Same entry nt-eval uses for every pipeline family."""
+        psnrs, ssims = [], []
+        for ci in self.outputs.eval_camera_indices:
+            c2w, K, img = self._camera(ci)
+            h, w = img.shape[:2]
+            out = self.model.apply(state.params, c2w, K, w, h, method=SplatfactoModel.render)
+            psnrs.append(float(L.psnr(out["rgb"], img)))
+            ssims.append(float(L.ssim(out["rgb"], img)))
+        if not psnrs:
+            return {"num_gaussians": float(self.num_alive(state))}
+        return {
+            "psnr": float(np.mean(psnrs)),
+            "ssim": float(np.mean(ssims)),
+            "num_gaussians": float(self.num_alive(state)),
+        }

@@ -17,12 +17,16 @@ from neurad_tpu.scripts.train import entrypoint as train_entrypoint
 @pytest.mark.parametrize("method,pipeline_cls", [
     ("neurad-tiny", "ADPipeline"),
     ("splatad-tiny", "SplatADPipeline"),
+    ("splatfacto", "SplatfactoPipeline"),
 ])
 def test_train_then_load_run(tmp_path, method, pipeline_cls):
     out = tmp_path / "runs"
+    extra = []
+    if method == "splatfacto":  # shrink capacity for the CPU mesh
+        extra = ["--set", "pipeline.capacity=2048", "--set", "pipeline.num_init=1024"]
     train_entrypoint([
         method, "--max-iterations", "4", "--output-dir", str(out),
-        "--experiment-name", f"rt-{method}", "--no-mesh",
+        "--experiment-name", f"rt-{method}", "--no-mesh", *extra,
     ])
     run_dir = out / f"rt-{method}"
     assert (run_dir / "config.json").exists()
