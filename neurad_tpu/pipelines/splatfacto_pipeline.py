@@ -215,6 +215,35 @@ class SplatfactoPipeline:
             vals.append(float(L.psnr(out["rgb"], img)))
         return float(np.mean(vals)) if vals else float("nan")
 
+    def render_eval_camera(self, state: TrainState, cam_idx: int, edits=None):
+        """(pred rgb, gt rgb) — same contract as the other pipelines, so
+        nt-render works on splatfacto runs (edits ignored: static scene)."""
+        c2w, K, img = self._camera(cam_idx)
+        out = self.model.apply(
+            state.params, c2w, K, img.shape[1], img.shape[0], method=SplatfactoModel.render
+        )
+        return np.asarray(out["rgb"]), np.asarray(img)
+
+    def render_viewer_image(
+        self, params, c2w, width: int, height: int, time: float = 0.0, edits_vec=None
+    ) -> np.ndarray:
+        """Arbitrary-pose viewer render (time/edits ignored: static scene)."""
+        if not hasattr(self, "_viewer_applies"):
+            self._viewer_applies = {}
+        key = (width, height)
+        if key not in self._viewer_applies:
+
+            @jax.jit
+            def fn(params, c2w):
+                focal = 0.7 * width
+                K = jnp.array([[focal, 0.0, width / 2.0], [0.0, focal, height / 2.0], [0.0, 0.0, 1.0]])
+                return self.model.apply(
+                    params, c2w[:3], K, width, height, method=SplatfactoModel.render
+                )["rgb"]
+
+            self._viewer_applies[key] = fn
+        return np.asarray(self._viewer_applies[key](params, jnp.asarray(c2w, jnp.float32)))
+
     def eval_metrics(self, state: TrainState) -> Dict[str, float]:
         """Same entry nt-eval uses for every pipeline family."""
         psnrs, ssims = [], []

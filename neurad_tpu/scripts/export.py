@@ -45,13 +45,18 @@ def export_pointcloud(pipeline, state, out_path: Path, num_rays: int = 50000):
 
 
 def export_gaussian_splat(params: dict, out_path: Path):
-    """Dump SplatAD gaussians as a 3DGS-convention PLY (`exporter.py:500-608`)."""
+    """Dump gaussians as a 3DGS-convention PLY (`exporter.py:500-608`).
+    Handles both param schemas: SplatAD ('features') and splatfacto
+    ('sh_dc'/'sh_rest')."""
     p = params["params"]
     means = np.asarray(p["means"])
     scales = np.asarray(p["scales"])
     quats = np.asarray(p["quats"])
     op = np.asarray(p["opacities"])
-    feats = np.asarray(p["features"])
+    if "features" in p:
+        feats = np.asarray(p["features"])
+    else:
+        feats = np.concatenate([np.asarray(p["sh_dc"]), np.asarray(p["sh_rest"])], axis=-1)
     fields = {
         "x": means[:, 0], "y": means[:, 1], "z": means[:, 2],
         "scale_0": scales[:, 0], "scale_1": scales[:, 1], "scale_2": scales[:, 2],
