@@ -30,6 +30,11 @@ def write_ply(path: Path, fields: dict):
 def export_pointcloud(pipeline, state, out_path: Path, num_rays: int = 50000):
     """Render eval lidar scans and dump predicted points (`exporter.py:50-200`).
     Works for both pipeline families via the shared render_eval_lidar keys."""
+    if not hasattr(pipeline, "render_eval_lidar"):
+        raise SystemExit(
+            "pointcloud export renders eval lidar scans — use a lidar-capable "
+            "method (neurad/splatad); for splatfacto use `gaussian-splat`"
+        )
     pts, cols = [], []
     for si in pipeline.outputs.eval_lidar_indices:
         out = pipeline.render_eval_lidar(state, si)

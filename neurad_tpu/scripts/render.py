@@ -31,6 +31,8 @@ def modify_actors(pipeline, state, shift=None, removal_time=None, stop_time=None
     import jax.numpy as jnp
     import numpy as np
 
+    if not hasattr(pipeline.model, "actor_data"):
+        raise SystemExit("actor edits need a dynamic-actor model (neurad/splatad), not splatfacto")
     ad = pipeline.model.actor_data
     if ad.n_actors == 0:
         return state
