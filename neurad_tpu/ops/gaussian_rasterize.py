@@ -214,8 +214,20 @@ def _packed_gather(projected: Projected, opac: jnp.ndarray, features: jnp.ndarra
     )  # [N, 10 + C]
     width = packed.shape[1]
     target = 64 if width <= 64 else 128
-    if width < target:
-        packed = jnp.pad(packed, ((0, 0), (0, target - width)))
+    # Widening to a full-lane row only pays when the GATHER is big enough to
+    # amortize building the [N, 64] table (the concat itself costs ~4.5 ms at
+    # 500k gaussians): measured crossover ~400k gathered rows on v5e
+    # (1080p camera / 65k-pt lidar win; 480x720 camera loses).
+    if width < target and tg.size >= 300_000:
+        # Pad with TRACED zeros (x * 0.0 is not folded for floats — NaN rules):
+        # constant zero-padding gets algebraically simplified back into a
+        # narrow gather + pad, which reinstates the width-16..32 gather
+        # pathology this function exists to avoid (verified in the xplane
+        # trace: jnp.pad here produced f32[...,26] gathers at 2.7x the cost).
+        zcol = packed[:, :1] * 0.0
+        packed = jnp.concatenate(
+            [packed, jnp.broadcast_to(zcol, (packed.shape[0], target - width))], axis=1
+        )
     g = packed[tg]  # [..., target]
     return (
         g[..., 0:2],  # means2d
