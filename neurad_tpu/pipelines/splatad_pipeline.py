@@ -441,6 +441,54 @@ class SplatADPipeline:
         world = np.asarray(origin)[None] + dirs * depth
         return np.concatenate([world, intensity], axis=-1)[keep]
 
+    def eval_fid_suite(self, state: TrainState, max_images=None) -> Dict[str, float]:
+        """Novel-view FID for splat runs: lane shift +-2/3 m, vertical +1 m, and
+        actor rot/trans edits — the same suite the ray pipeline runs
+        (reference `pipelines/splatad_pipeline.py` shares `ad_pipeline.py`'s
+        FID machinery, 172-192/376-502). Splatting renders novel views by
+        shifting the camera POSE directly."""
+        from neurad_tpu.model_components.dynamic_actors import ActorEdits
+        from neurad_tpu.utils.eval_metrics import fid, fid_suite_shifts
+
+        lane_sign = 1
+        if self.outputs.metadata and "lane_shift_sign" in self.outputs.metadata:
+            lane_sign = int(self.outputs.metadata["lane_shift_sign"])
+        cams = list(self.outputs.eval_camera_indices)
+        if max_images is not None:
+            cams = cams[:max_images]
+        if not cams:
+            return {}
+        real = [np.asarray(self.render_eval_camera(state, ci)[1]) for ci in cams]
+        metrics: Dict[str, float] = {}
+
+        if self.model.actor_data.n_actors > 0:
+            actor_edits = {
+                "rot": (ActorEdits(rotation=0.5), ActorEdits(rotation=-0.5)),
+                "trans": (ActorEdits(lateral=2.0), ActorEdits(lateral=-2.0)),
+            }
+            for name, edit_list in actor_edits.items():
+                fakes = []
+                for edit in edit_list:
+                    for ci in cams:
+                        fakes.append(np.asarray(self.render_eval_camera(state, ci, edits=edit)[0]))
+                metrics[f"fid_actor_shift_{name}"] = fid(real, fakes)
+
+        for name, (lateral, vertical) in fid_suite_shifts(lane_sign).items():
+            fakes = []
+            for ci in cams:
+                s = self.datamanager._camera_sample(ci)
+                c2w = np.array(s.c2w, dtype=np.float32)
+                c2w[:3, 3] += c2w[:3, 0] * lateral + c2w[:3, 1] * vertical
+                out = self.model.apply(
+                    state.params,
+                    jnp.asarray(c2w), jnp.asarray(s.K), s.width, s.height,
+                    jnp.asarray(s.time), jnp.asarray(s.sensor_idx), jnp.asarray(s.cam_idx),
+                    method=SplatADModel.get_camera_outputs,
+                )
+                fakes.append(np.asarray(out["rgb"]))
+            metrics[f"fid_{name}"] = fid(real, fakes)
+        return metrics
+
     def eval_metrics(self, state: TrainState) -> Dict[str, float]:
         metrics: Dict[str, float] = {}
         cams = self.outputs.eval_camera_indices

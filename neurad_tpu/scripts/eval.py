@@ -59,10 +59,18 @@ def entrypoint(argv=None):
     parser = argparse.ArgumentParser(description="Evaluate a trained neurad_tpu run")
     parser.add_argument("run_dir", help="nt-train output directory")
     parser.add_argument("--output", default=None, help="JSON output path (default: <run_dir>/eval.json)")
+    parser.add_argument(
+        "--fid", action="store_true",
+        help="also run the novel-view FID suite (lane/vertical shifts + actor edits;"
+        " the reference computes these at ns-eval, ad_pipeline.py:348-357)",
+    )
+    parser.add_argument("--fid-max-images", type=int, default=None)
     args = parser.parse_args(argv)
 
     pipeline, state, step = load_run(args.run_dir)
     metrics = pipeline.eval_metrics(state)
+    if args.fid and hasattr(pipeline, "eval_fid_suite"):
+        metrics.update(pipeline.eval_fid_suite(state, max_images=args.fid_max_images))
     result = {"checkpoint_step": step, "results": metrics}
     out_path = Path(args.output or (Path(args.run_dir) / "eval.json"))
     out_path.write_text(json.dumps(result, indent=2))

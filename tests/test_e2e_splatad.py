@@ -50,6 +50,18 @@ def test_splatad_eval(pipeline):
     assert "depth_median_l2" in metrics and np.isfinite(metrics["depth_median_l2"])
 
 
+def test_splatad_fid_suite(pipeline):
+    """SplatAD novel-view FID suite: lane/vertical pose shifts + actor edits
+    produce finite FID values with the reference's metric keys."""
+    state = getattr(pipeline, "_test_state", None) or pipeline.init_state()
+    metrics = pipeline.eval_fid_suite(state, max_images=2)
+    for key in ("fid_lane_shift_2m", "fid_vertical_shift_1m"):
+        assert any(k.startswith("fid_") for k in metrics)
+    assert all(np.isfinite(v) for v in metrics.values()), metrics
+    # the synthetic scene has actors -> actor-edit FIDs present
+    assert "fid_actor_shift_rot" in metrics and "fid_actor_shift_trans" in metrics
+
+
 def test_splatad_viewer_render_paths(pipeline):
     """SplatAD viewer rendering: camera image at an arbitrary pose with traced
     actor-edit values (no recompile per slider move) and the virtual-lidar
