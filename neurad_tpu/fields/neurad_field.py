@@ -76,6 +76,9 @@ class NeuRADField(nn.Module):
     require_actor_grad: bool = True
     max_actors_per_ray: int = 4
     sh_levels: int = 4
+    # batch-capacity divisor of the compacted actor lookup (0 = dense path);
+    # exposed so callers needing batch-size-independent outputs can disable it
+    actor_compaction: int = 8
 
     def setup(self):
         self.hashgrid = NeuRADHashEncoding(
@@ -85,6 +88,7 @@ class NeuRADField(nn.Module):
             actor=self.actor,
             require_actor_grad=self.require_actor_grad,
             max_actors_per_ray=self.max_actors_per_ray,
+            actor_compaction=self.actor_compaction,
         )
         self.mlp_geo = MLP(
             out_dim=self.nff_out_dim + 1, num_layers=self.geo_num_layers, layer_width=self.geo_hidden_dim
@@ -197,6 +201,7 @@ class NeuRADProposalField(nn.Module):
         log2_hashmap_size=15, num_levels=4, base_res=64, max_res=1024, hashgrid_dim=1
     )
     max_actors_per_ray: int = 4
+    actor_compaction: int = 8
 
     def setup(self):
         self.hashgrid = NeuRADHashEncoding(
@@ -206,6 +211,7 @@ class NeuRADProposalField(nn.Module):
             actor=self.actor,
             require_actor_grad=False,  # no trajectory grads through proposals (`neurad_field.py:199`)
             max_actors_per_ray=self.max_actors_per_ray,
+            actor_compaction=self.actor_compaction,
         )
         self.density_decoder = nn.Dense(1, use_bias=False)
 

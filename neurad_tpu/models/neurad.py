@@ -107,6 +107,9 @@ class NeuRADModel(nn.Module):
     camera_opt_trans_penalty: Tuple[float, ...] = (1e-2, 1e-2, 1e-2)
     optimize_trajectories: bool = True
     max_actors_per_ray: int = 4
+    # compacted-actor-lookup capacity divisor (0 disables; outputs then don't
+    # depend on the eval batch/chunk size)
+    actor_compaction: int = 8
 
     @property
     def num_proposal_rounds(self) -> int:
@@ -126,6 +129,7 @@ class NeuRADModel(nn.Module):
             nff_out_dim=self.nff_out_dim,
             use_sdf=self.use_sdf,
             max_actors_per_ray=self.max_actors_per_ray,
+            actor_compaction=self.actor_compaction,
         )
         if self.proposal_mode == "mlp":
             # TPU-native default: matmul-only proposal density (see MLPProposalField)
@@ -141,6 +145,7 @@ class NeuRADModel(nn.Module):
                     static=s,
                     actor=self.proposal_actor,
                     max_actors_per_ray=self.max_actors_per_ray,
+                    actor_compaction=self.actor_compaction,
                     name=f"proposal_field_{i}",
                 )
                 for i, s in enumerate(self.proposal_static)

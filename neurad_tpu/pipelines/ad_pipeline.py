@@ -10,6 +10,7 @@ everywhere). Evaluation renders full sensors chunk-wise like
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -33,6 +34,9 @@ class ADPipelineConfig:
     model_overrides: dict = dataclasses.field(default_factory=dict)
     optimizer_groups: dict = dataclasses.field(default_factory=lambda: dict(NEURAD_OPTIMIZER_GROUPS))
     eval_chunk: int = 1 << 15
+    # shard eval/render rays over the device mesh when >1 device (multi-chip
+    # eval the reference's DDP never had); False = single-device lax.map chunks
+    eval_shard: bool = True
     # rays per NFF chunk inside the jit'd train step: bounds the hash-gather
     # intermediates that otherwise exceed one chip's HBM at full batch
     # (0 = no chunking; see ops/chunking.py)
@@ -292,6 +296,48 @@ class ADPipeline:
             self._nff_applies = {}
         edits = getattr(self, "_render_edits", None)  # static; one (cached) trace per edit value
         chunk = self.config.eval_chunk
+
+        # multi-device: shard the RAY axis over the mesh (GSPMD partitions the
+        # whole NFF — eval/render parallelism the reference's DDP never had);
+        # super-chunks of chunk*n_dev rays bound per-device memory like the
+        # single-device chunking does.
+        n_dev = len(jax.devices())
+        if n_dev > 1 and getattr(self.config, "eval_shard", True):
+            from neurad_tpu.parallel.sharding import make_mesh, shard_batch
+
+            key = (edits, bool(all_camera), "sharded")
+            if key not in self._nff_applies:
+
+                @functools.partial(jax.jit, static_argnums=(2,))
+                def run_sh(p, b, nc):
+                    return self.model.apply(
+                        p, b, nc, False, None, edits=edits, method=NeuRADModel.get_nff_outputs
+                    )
+
+                self._nff_applies[key] = run_sh
+
+            mesh = make_mesh()
+            n = bundle.origins.shape[0]
+            super_chunk = chunk * n_dev
+            outs = []
+            for i in range(0, n, super_chunk):
+                piece = jax.tree.map(lambda x: x[i : i + super_chunk], bundle)
+                m = piece.origins.shape[0]
+                pad = (-m) % n_dev
+                if pad:
+                    piece = jax.tree.map(
+                        lambda x: jnp.concatenate(
+                            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+                        ),
+                        piece,
+                    )
+                piece = shard_batch(mesh, piece)
+                out = self._nff_applies[key](params, piece, (m + pad) if all_camera else 0)
+                outs.append(jax.tree.map(lambda x: x[:m], out))
+            if len(outs) == 1:
+                return outs[0]
+            return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
         key = (edits, bool(all_camera))
         if key not in self._nff_applies:
 

@@ -100,3 +100,33 @@ def test_host_local_seed_decorrelates():
     # different process indices map to different seeds (simulated)
     seeds = {42 + 7919 * i for i in range(4)}
     assert len(seeds) == 4
+
+
+def test_sharded_eval_render_matches_unsharded(pipeline):
+    """Eval/render rays sharded over the mesh (GSPMD) == the single-device
+    lax.map chunked path — same NFF outputs for a full eval camera.
+
+    actor_compaction is disabled: its fixed capacity scales with the per-call
+    batch, so it is the one (documented) source of chunk-size-dependent
+    outputs."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        pipeline.config,
+        model_overrides={**pipeline.config.model_overrides, "actor_compaction": 0},
+    )
+    sharded = ADPipeline(pipeline.outputs, cfg)
+    state, _ = sharded.init_state(jax.random.PRNGKey(4))
+    ci = sharded.outputs.eval_camera_indices[0]
+
+    assert sharded.config.eval_shard  # default on
+    pred_sharded, gt = sharded.render_eval_camera(state, ci)
+
+    unsharded = ADPipeline(pipeline.outputs, dataclasses.replace(cfg, eval_shard=False))
+    pred_single, _ = unsharded.render_eval_camera(state, ci)
+
+    assert np.isfinite(pred_sharded).all()
+    # bf16 MLP/CNN compute reassociates differently under GSPMD partitioning:
+    # observed max |diff| ~2e-3 on this scene — tolerance covers reduction
+    # noise while still catching wrong-ray/wrong-scale bugs (which are O(0.1))
+    np.testing.assert_allclose(pred_sharded, pred_single, atol=6e-3, rtol=3e-2)
