@@ -286,6 +286,15 @@ class ADPipeline:
     # evaluation (`ad_pipeline.py:145-306`)
     # ------------------------------------------------------------------
 
+    def _eval_params(self, params):
+        """Mesh-replicate params for eval when ray sharding is active, so every
+        downstream apply (NFF + CNN decode) sees consistent placements."""
+        if len(jax.devices()) > 1 and getattr(self.config, "eval_shard", True):
+            from neurad_tpu.parallel.sharding import make_mesh, replicate
+
+            return replicate(make_mesh(), params)
+        return params
+
     def _chunked_nff(self, params, bundle: RayBundle, all_camera: bool) -> Dict[str, jnp.ndarray]:
         """Chunked NFF forward over a flat bundle (`base_model.py:178-205`).
 
@@ -303,7 +312,7 @@ class ADPipeline:
         # single-device chunking does.
         n_dev = len(jax.devices())
         if n_dev > 1 and getattr(self.config, "eval_shard", True):
-            from neurad_tpu.parallel.sharding import make_mesh, shard_batch
+            from neurad_tpu.parallel.sharding import make_mesh, replicate, shard_batch
 
             key = (edits, bool(all_camera), "sharded")
             if key not in self._nff_applies:
@@ -317,6 +326,9 @@ class ADPipeline:
                 self._nff_applies[key] = run_sh
 
             mesh = make_mesh()
+            # params may be committed to one device (post-restore / --no-mesh
+            # training); replicate onto the mesh (no-op when already placed)
+            params = replicate(mesh, params)
             n = bundle.origins.shape[0]
             super_chunk = chunk * n_dev
             outs = []
@@ -373,10 +385,11 @@ class ADPipeline:
         `ad_pipeline.py:453-502`)."""
         self._render_edits = edits
         bundle, gt, (hs, ws) = self.datamanager.eval_camera_bundle(cam_idx)
-        nff = self._chunked_nff(state.params, bundle, all_camera=True)
+        params = self._eval_params(state.params)
+        nff = self._chunked_nff(params, bundle, all_camera=True)
         features = nff["features"].reshape(1, hs, ws, -1)
         rgb = self.model.apply(
-            state.params,
+            params,
             features.reshape(-1, features.shape[-1]),
             (hs, ws),
             hs * ws,
@@ -387,10 +400,11 @@ class ADPipeline:
 
     def render_eval_lidar(self, state: TrainState, scan_idx: int) -> Dict[str, np.ndarray]:
         bundle, pts = self.datamanager.eval_lidar_bundle(scan_idx)
-        nff = self._chunked_nff(state.params, bundle, all_camera=False)
+        params = self._eval_params(state.params)
+        nff = self._chunked_nff(params, bundle, all_camera=False)
         feats = nff["features"]
         _, intensity, ray_drop = self.model.apply(
-            state.params, feats, (1, 1), 0, method=NeuRADModel.decode_features
+            params, feats, (1, 1), 0, method=NeuRADModel.decode_features
         )
         return {
             "depth": np.asarray(nff["depth"]),
@@ -438,6 +452,7 @@ class ADPipeline:
                         fakes.append(np.asarray(self.render_eval_camera(state, ci, edits=edit)[0]))
                 metrics[f"fid_actor_shift_{name}"] = fid(real, fakes, vgg_params=self.vgg_params)
 
+        eval_params = self._eval_params(state.params)
         for name, (lateral, vertical) in fid_suite_shifts(lane_sign).items():
             fakes = []
             for ci in cams:
@@ -446,10 +461,10 @@ class ADPipeline:
                 right, up = c2w[:3, 0], c2w[:3, 1]
                 shift = jnp.asarray(right * lateral + up * vertical)
                 bundle = bundle.replace(origins=bundle.origins + shift)
-                nff = self._chunked_nff(state.params, bundle, all_camera=True)
+                nff = self._chunked_nff(eval_params, bundle, all_camera=True)
                 features = nff["features"]
                 rgb = self.model.apply(
-                    state.params, features, (hs, ws), hs * ws, method=NeuRADModel.decode_features
+                    eval_params, features, (hs, ws), hs * ws, method=NeuRADModel.decode_features
                 )[0]
                 fakes.append(np.asarray(rgb[0]))
             metrics[f"fid_{name}"] = fid(real, fakes)
