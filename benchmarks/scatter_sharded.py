@@ -125,12 +125,12 @@ def main():
 
     # A: current production — physical-row scatter, wide updates, 268MB bf16 acc
     def prod(idx, g, i):
-        return jnp.zeros((PHYS, FP), jnp.bfloat16).at[idx ^ (i & 0)].add(g)
+        return jnp.zeros((PHYS, FP), jnp.bfloat16).at[idx ^ i].add(g)
     guard("A  production: [N,512]->268MB bf16 physical scatter", lambda: timeit(chain(prod), idx_p, g_p), N)
 
     # B: bucket-view scatter, narrow updates, same total acc bytes
     def bucket(idx, g, i):
-        return jnp.zeros((BUCKETS, FB), jnp.bfloat16).at[idx ^ (i & 0)].add(g.astype(jnp.bfloat16))
+        return jnp.zeros((BUCKETS, FB), jnp.bfloat16).at[idx ^ i].add(g.astype(jnp.bfloat16))
     guard("B  bucket view: [N,32]->268MB bf16 scatter", lambda: timeit(chain(bucket), idx_b, g_b), N)
 
     # C: sharded bucket view
@@ -138,7 +138,7 @@ def main():
         mean = N / n_shards
         cap = int(np.ceil((mean + 8 * np.sqrt(mean) + 64) / 128) * 128)
         def sh(idx, g, i, n_shards=n_shards, cap=cap):
-            return sharded_scatter(idx ^ (i & 0), g, BUCKETS, n_shards, cap)
+            return sharded_scatter(idx ^ i, g, BUCKETS, n_shards, cap)
         guard(
             f"C  sorted {n_shards}-shard bucket scatter (cap={cap})",
             lambda sh=sh: timeit(chain(sh), idx_b, g_b),
@@ -149,21 +149,21 @@ def main():
     def sort_only(idx, g, i):
         gb = g.astype(jnp.bfloat16)
         packed = lax.bitcast_convert_type(gb.reshape(N, FB // 2, 2), jnp.int32)
-        return lax.sort((idx ^ (i & 0), *[packed[:, k] for k in range(FB // 2)]), num_keys=1, is_stable=False)
+        return lax.sort((idx ^ i, *[packed[:, k] for k in range(FB // 2)]), num_keys=1, is_stable=False)
     guard("D  lax.sort key + 16 packed-bf16 cols", lambda: timeit(chain(sort_only), idx_b, g_b), N)
 
     # E: 6 levels of C overlapped (the real step has 6 independent hashed levels)
     def six(idx, g, i):
         outs = []
         for l in range(6):
-            outs.append(sharded_scatter(jnp.bitwise_xor(idx, l) % BUCKETS, g, BUCKETS, 64, 15360))
+            outs.append(sharded_scatter(idx ^ (i * 8 + l), g, BUCKETS, 64, 15360))
         return tuple(outs)
     guard("E  6 levels x 64-shard (full static bwd)", lambda: timeit(chain(six), idx_b, g_b), 6 * N)
 
     def six_prod(idx, g, i):
         outs = []
         for l in range(6):
-            outs.append(jnp.zeros((PHYS, FP), jnp.bfloat16).at[jnp.bitwise_xor(idx, l) % PHYS].add(g))
+            outs.append(jnp.zeros((PHYS, FP), jnp.bfloat16).at[idx ^ (i * 8 + l)].add(g))
         return tuple(outs)
     guard("F  6 levels production physical scatter", lambda: timeit(chain(six_prod), idx_p, g_p), 6 * N)
 
