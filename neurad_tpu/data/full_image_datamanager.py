@@ -104,6 +104,14 @@ class FullImageLidarDataManager:
         # pre-convert all scans to padded raster_pts (host memory, reused per epoch)
         self._raster_cache: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
+    def rng_state(self) -> dict:
+        """Host sampler state for bit-exact resume (rides the checkpoint as
+        host_state_{step}.json, same contract as ADDataManager.rng_state)."""
+        return self._rng.bit_generator.state
+
+    def set_rng_state(self, state: dict) -> None:
+        self._rng.bit_generator.state = state
+
     def _camera_sample(self, idx: int) -> CameraSample:
         cams = self.outputs.cameras
         img = self.outputs.images[idx]
@@ -164,6 +172,21 @@ class FullImageLidarDataManager:
     def iter_train(self) -> Iterator:
         while True:
             yield self.next_train()
+
+    def next_train_batch(self, n: int):
+        """n same-modality samples for data-parallel training (one per device;
+        the reference's DDP gives each rank its own frame/scan). Camera batches
+        are drawn from cameras sharing the first pick's image shape so they
+        stack; replacement handles datasets with fewer sensors than devices."""
+        use_camera = self._rng.uniform() < self.config.camera_fraction or not self.train_lidars
+        if use_camera and self.train_cams:
+            first = int(self._rng.choice(self.train_cams))
+            shape = self.outputs.images[first].shape
+            pool = [i for i in self.train_cams if self.outputs.images[i].shape == shape]
+            idxs = [first] + [int(i) for i in self._rng.choice(pool, size=n - 1, replace=True)]
+            return [self._camera_sample(i) for i in idxs]
+        idxs = self._rng.choice(self.train_lidars, size=n, replace=True)
+        return [self._lidar_sample(int(i)) for i in idxs]
 
     def all_seed_points(self, paint_topk: int = 4) -> np.ndarray:
         """World-frame accumulated point cloud for gaussian seeding, painted

@@ -243,6 +243,11 @@ class SplatADPipeline:
                 jnp.asarray(sample.linear_velocity),
             )
 
+        return self._maybe_refine(state), metrics
+
+    def _maybe_refine(self, state: TrainState) -> TrainState:
+        """Post-step densify/prune/reset dispatch (shared by the single-sample
+        and mesh-sharded train steps)."""
         step = int(state.step)
         if self.config.strategy == "default":
             cfg = self.config.default_strategy
@@ -256,7 +261,154 @@ class SplatADPipeline:
                 state = state.replace(params={**state.params, "params": p})
         elif should_refine(step, self.config.mcmc):
             state = self._refine(state)
-        return state, metrics
+        return state
+
+    # ------------------------------------------------------------------
+    # Data-parallel (mesh-sharded) training: one full camera frame / lidar
+    # scan PER DEVICE, per-sample losses averaged — exactly the reference's
+    # DDP semantics (each rank its own sample, grads all-reduced;
+    # `/root/reference/nerfstudio/pipelines/splatad_pipeline.py:172`,
+    # `base_pipeline.py:306`). Params replicated over the mesh, sample axis
+    # sharded; XLA turns the mean-loss gradient into a psum over ICI.
+
+    def _make_camera_step_batched(self):
+        use_absgrad = self.config.strategy == "default"
+        n_gauss = self.config.cap_max
+
+        def step(state: TrainState, c2w, K, image, time, sensor_idx, cam_idx, lin_vel, rs_time, t_center):
+            n, h, w = image.shape[0], image.shape[1], image.shape[2]
+
+            def loss_fn(p, offsets):
+                def one(c2w_i, K_i, img_i, t_i, s_i, ci_i, lv_i, rs_i, tc_i, off_i):
+                    out = self.model.apply(
+                        p, c2w_i, K_i, w, h, t_i, s_i, ci_i,
+                        cam_linear_vel=lv_i,
+                        rolling_shutter_time=rs_i,
+                        time_to_center_pixel=tc_i,
+                        train=True,
+                        means2d_offset=off_i,
+                        method=SplatADModel.get_camera_outputs,
+                    )
+                    total, metrics = self.model.apply(p, out, img_i, method=SplatADModel.camera_loss)
+                    return total, (metrics, out["radii"])
+
+                totals, (metrics, radii) = jax.vmap(one)(
+                    c2w, K, image, time, sensor_idx, cam_idx, lin_vel, rs_time, t_center, offsets
+                )
+                return totals.mean(), (metrics, radii)
+
+            rng, _ = jax.random.split(state.rng)
+            offsets = jnp.zeros((n, n_gauss, 2))
+            (loss, (metrics, radii)), (grads, g_off) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, offsets)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = {k: jnp.mean(v) for k, v in metrics.items()}
+            metrics["total_loss"] = loss
+            if use_absgrad:
+                # per-sample pixel grads (undo the 1/n of the mean loss), summed
+                # over the batch: one sharded step accumulates the same absgrad
+                # statistics as n sequential single-sample steps
+                g2d = jnp.linalg.norm(g_off * (n * jnp.array([w / 2.0, h / 2.0])), axis=-1)  # [n, G]
+                visible = radii > 0
+                aux = (
+                    jnp.sum(jnp.where(visible, g2d, 0.0), axis=0),
+                    jnp.sum(visible.astype(jnp.int32), axis=0),
+                )
+            else:
+                aux = (jnp.zeros(n_gauss), jnp.zeros(n_gauss, jnp.int32))
+            new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng)
+            return new_state, metrics, aux
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _make_lidar_step_batched(self):
+        def step(state: TrainState, l2w, raster_pts, did_return, valid, time, sensor_idx, lin_vel):
+            def loss_fn(p):
+                def one(l2w_i, rp_i, dr_i, v_i, t_i, s_i, lv_i):
+                    out = self.model.apply(
+                        p, l2w_i, rp_i, t_i, s_i,
+                        lidar_linear_vel=lv_i, train=True,
+                        method=SplatADModel.get_lidar_outputs,
+                    )
+                    return self.model.apply(p, out, rp_i, dr_i, v_i, method=SplatADModel.lidar_loss)
+
+                totals, metrics = jax.vmap(one)(l2w, raster_pts, did_return, valid, time, sensor_idx, lin_vel)
+                return totals.mean(), metrics
+
+            rng, _ = jax.random.split(state.rng)
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = {k: jnp.mean(v) for k, v in metrics.items()}
+            metrics["total_loss"] = loss
+            return state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng), metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def make_sharded_train_step(self, mesh):
+        """Returns train_step_sharded(state, samples) for a list of same-type
+        samples (one per device). Params/opt-state replicated over `mesh`,
+        sample axis sharded; gradient psum inserted by GSPMD."""
+        import numpy as _np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from neurad_tpu.parallel.sharding import shard_batch
+
+        repl = NamedSharding(mesh, P())
+        cam_step = {"fn": None}
+        lid_step = {"fn": None}
+
+        def run(state: TrainState, samples):
+            state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+            if isinstance(samples[0], CameraSample):
+                samples = [self._downscale_sample(s, int(state.step)) for s in samples]
+                batch = dict(
+                    c2w=_np.stack([s.c2w for s in samples]),
+                    K=_np.stack([s.K for s in samples]),
+                    image=_np.stack([s.image for s in samples]),
+                    time=_np.asarray([s.time for s in samples], _np.float32),
+                    sensor_idx=_np.asarray([s.sensor_idx for s in samples], _np.int32),
+                    cam_idx=_np.asarray([s.cam_idx for s in samples], _np.int32),
+                    lin_vel=_np.stack([s.linear_velocity for s in samples]).astype(_np.float32),
+                    rs_time=_np.asarray([s.rolling_shutter_time for s in samples], _np.float32),
+                    t_center=_np.asarray([s.time_to_center_pixel for s in samples], _np.float32),
+                )
+                batch = shard_batch(mesh, batch)
+                if cam_step["fn"] is None:
+                    cam_step["fn"] = self._make_camera_step_batched()
+                state, metrics, (g2d, vis) = cam_step["fn"](
+                    state, batch["c2w"], batch["K"], batch["image"], batch["time"],
+                    batch["sensor_idx"], batch["cam_idx"], batch["lin_vel"],
+                    batch["rs_time"], batch["t_center"],
+                )
+                if self.config.strategy == "default":
+                    if self._grad2d_sum is None:
+                        self._grad2d_sum = jnp.zeros_like(g2d)
+                        self._count = jnp.zeros_like(vis)
+                    self._grad2d_sum = self._grad2d_sum + g2d
+                    self._count = self._count + vis
+            else:
+                batch = dict(
+                    l2w=_np.stack([s.l2w for s in samples]),
+                    raster_pts=_np.stack([s.raster_pts for s in samples]),
+                    did_return=_np.stack([s.did_return for s in samples]),
+                    valid=_np.stack([s.valid for s in samples]),
+                    time=_np.asarray([s.time for s in samples], _np.float32),
+                    sensor_idx=_np.asarray([s.sensor_idx for s in samples], _np.int32),
+                    lin_vel=_np.stack([s.linear_velocity for s in samples]).astype(_np.float32),
+                )
+                batch = shard_batch(mesh, batch)
+                if lid_step["fn"] is None:
+                    lid_step["fn"] = self._make_lidar_step_batched()
+                state, metrics = lid_step["fn"](
+                    state, batch["l2w"], batch["raster_pts"], batch["did_return"],
+                    batch["valid"], batch["time"], batch["sensor_idx"], batch["lin_vel"],
+                )
+            return self._maybe_refine(state), metrics
+
+        return run
 
     def _refine_default(self, state: TrainState) -> TrainState:
         """absgrad grow/split/prune with actor-aware culling (reference

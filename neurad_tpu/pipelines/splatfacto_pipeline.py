@@ -109,6 +109,16 @@ class SplatfactoPipeline:
             img = img / 255.0
         return jnp.asarray(c2w), jnp.asarray(K), jnp.asarray(img)
 
+    def rng_state(self) -> dict:
+        """Host sampler state for bit-exact resume (rides the checkpoint as
+        host_state_{step}.json; `_step_count` drives the downscale schedule
+        and refine cadence, so it must resume too)."""
+        return {"rng": self._order.bit_generator.state, "step_count": self._step_count}
+
+    def set_rng_state(self, state: dict) -> None:
+        self._order.bit_generator.state = state["rng"]
+        self._step_count = int(state["step_count"])
+
     def init_state(self, rng: Optional[jax.Array] = None) -> Tuple[TrainState, object]:
         cfg = self.config
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
@@ -184,6 +194,89 @@ class SplatfactoPipeline:
             p = reset_opacities(dict(state.params["params"]), cfg.strategy)
             state = state.replace(params={**state.params, "params": p})
         return state, metrics
+
+    def _make_step_batched(self, h: int, w: int):
+        """Leading-sample-axis variant of _make_step: per-sample losses averaged
+        (DDP semantics, reference `base_pipeline.py:306`); absgrad stats summed
+        over the batch with the 1/n of the mean undone."""
+        model, tx = self.model, self.tx
+        n_gauss = self.config.capacity
+
+        def step(state: TrainState, c2w, K, img):
+            n = img.shape[0]
+
+            def loss_fn(params, offsets):
+                def one(c2w_i, K_i, img_i, off_i):
+                    out = model.apply(params, c2w_i, K_i, w, h, means2d_offset=off_i, method=SplatfactoModel.render)
+                    total, metrics = model.apply(params, out, img_i, method=SplatfactoModel.loss)
+                    return total, (metrics, out["radii"])
+
+                totals, (metrics, radii) = jax.vmap(one)(c2w, K, img, offsets)
+                return totals.mean(), (metrics, radii)
+
+            rng, _ = jax.random.split(state.rng)
+            offsets = jnp.zeros((n, n_gauss, 2))
+            (loss, (metrics, radii)), (grads, g_off) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, offsets)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = {k: jnp.mean(v) for k, v in metrics.items()}
+            metrics["total_loss"] = loss
+            g2d = jnp.linalg.norm(g_off * (n * jnp.array([w / 2.0, h / 2.0])), axis=-1)
+            visible = radii > 0
+            aux = (
+                jnp.sum(jnp.where(visible, g2d, 0.0), axis=0),
+                jnp.sum(visible.astype(jnp.int32), axis=0),
+            )
+            return state.replace(step=state.step + 1, params=params, opt_state=opt_state, rng=rng), metrics, aux
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def make_sharded_train_step(self, mesh):
+        """train_step_sharded(state): one camera per device over `mesh`."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from neurad_tpu.parallel.sharding import shard_batch
+
+        repl = NamedSharding(mesh, P())
+        steps: Dict[Tuple[int, int], object] = {}
+        n_dev = mesh.devices.size
+
+        def run(state: TrainState):
+            cfg = self.config
+            first = self.train_indices[int(self._order.integers(len(self.train_indices)))]
+            c2w0, K0, img0 = self._camera(first)
+            h, w = img0.shape[:2]
+            pool = [i for i in self.train_indices if self.outputs.images[i].shape[:2] == (h, w)]
+            idxs = [first] + [
+                self.train_indices[int(self._order.integers(len(self.train_indices)))]
+                for _ in range(n_dev - 1)
+            ]
+            idxs = [i if self.outputs.images[i].shape[:2] == (h, w) else pool[0] for i in idxs]
+            cams = [self._camera(i) for i in idxs]
+            batch = dict(
+                c2w=np.stack([c[0] for c in cams]),
+                K=np.stack([c[1] for c in cams]),
+                img=np.stack([c[2] for c in cams]),
+            )
+            state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+            batch = shard_batch(mesh, batch)
+            if (h, w) not in steps:
+                steps[(h, w)] = self._make_step_batched(h, w)
+            state, metrics, (g2d, vis) = steps[(h, w)](state, batch["c2w"], batch["K"], batch["img"])
+            self._grad2d_sum = self._grad2d_sum + g2d
+            self._count = self._count + vis
+
+            step = int(state.step)
+            if should_refine_default(step, cfg.strategy):
+                state = self._refine(state)
+            if step % cfg.strategy.reset_every == 0 and 0 < step < cfg.strategy.refine_stop_iter:
+                p = reset_opacities(dict(state.params["params"]), cfg.strategy)
+                state = state.replace(params={**state.params, "params": p})
+            return state, metrics
+
+        return run
 
     def _refine(self, state: TrainState) -> TrainState:
         cfg = self.config

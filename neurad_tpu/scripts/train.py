@@ -46,6 +46,10 @@ def entrypoint(argv=None):
     parser.add_argument("--output-dir", default="outputs")
     parser.add_argument("--experiment-name", default=None)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument(
+        "--load-dir", default=None,
+        help="checkpoints dir of a previous run to resume from (reference --load-dir)",
+    )
     parser.add_argument("--multihost", action="store_true", help="jax.distributed.initialize() for pods")
     parser.add_argument("--no-mesh", action="store_true", help="disable ray-batch sharding over devices (sharded by default when >1 device)")
     parser.add_argument("--viewer", action="store_true", help="serve the live browser viewer during training")
@@ -152,7 +156,7 @@ def entrypoint(argv=None):
             options=ocp.CheckpointManagerOptions(max_to_keep=cfg.trainer.keep_last_n_checkpoints),
         )
 
-    def _save_ckpt(mngr, step, state):
+    def _save_ckpt(mngr, step, state, host_source=None):
         import orbax.checkpoint as ocp
 
         mngr.save(
@@ -161,14 +165,53 @@ def entrypoint(argv=None):
                 {"params": state.params, "opt_state": state.opt_state, "rng": state.rng}
             ),
         )
+        # host sampler state rides the checkpoint for bit-exact resume
+        # (same contract as Trainer.save_checkpoint / host_state_{step}.json)
+        if host_source is not None and hasattr(host_source, "rng_state"):
+            from pathlib import Path as _Path
+
+            (_Path(cfg.trainer.checkpoint_dir) / f"host_state_{step}.json").write_text(
+                json.dumps(host_source.rng_state(), default=int)
+            )
+
+    def _load_ckpt(mngr_dir, state, host_source=None):
+        """Restore (state, start_step) from a previous run's checkpoints dir."""
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+        from pathlib import Path as _Path
+
+        mngr = ocp.CheckpointManager(str(_Path(mngr_dir).absolute()))
+        step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {mngr_dir}")
+        tmpl = {"params": state.params, "opt_state": state.opt_state, "rng": state.rng}
+        restored = mngr.restore(step, args=ocp.args.StandardRestore(tmpl))
+        state = state.replace(
+            step=jnp.asarray(step), params=restored["params"],
+            opt_state=restored["opt_state"], rng=restored["rng"],
+        )
+        host = _Path(mngr_dir) / f"host_state_{step}.json"
+        if host_source is not None and host.exists() and hasattr(host_source, "set_rng_state"):
+            host_source.set_rng_state(json.loads(host.read_text()))
+        return state, int(step)
 
     if cfg.pipeline_type == "splatfacto":
         # camera-only splatting: pipeline samples its own train cameras
         state, _ = pipeline.init_state(jax.random.PRNGKey(args.seed))
+        start = 0
+        if args.load_dir:
+            state, start = _load_ckpt(args.load_dir, state, host_source=pipeline)
         mngr = _make_ckpt_manager()
+        sharded_step = None
+        if not args.no_mesh and len(jax.devices()) > 1:
+            # data-parallel by default: one camera per device, grads psum'd
+            # (the reference DDP-wraps splat pipelines too, base_pipeline.py:306)
+            from neurad_tpu.parallel.sharding import make_mesh
+
+            sharded_step = pipeline.make_sharded_train_step(make_mesh())
         metrics = {}
-        for i in range(cfg.trainer.max_num_iterations):
-            state, m = pipeline.train_step(state)
+        for i in range(start, cfg.trainer.max_num_iterations):
+            state, m = sharded_step(state) if sharded_step is not None else pipeline.train_step(state)
             if i % cfg.trainer.steps_per_log == 0:
                 metrics = {k: float(v) for k, v in m.items()}
                 metrics["num_gaussians"] = pipeline.num_alive(state)
@@ -177,8 +220,8 @@ def entrypoint(argv=None):
                 metrics["eval/psnr"] = pipeline.eval_psnr(state)
                 writer.write_scalars(i, {"eval/psnr": metrics["eval/psnr"]})
             if i > 0 and i % cfg.trainer.steps_per_save == 0:
-                _save_ckpt(mngr, i, state)
-        _save_ckpt(mngr, cfg.trainer.max_num_iterations, state)
+                _save_ckpt(mngr, i, state, host_source=pipeline)
+        _save_ckpt(mngr, cfg.trainer.max_num_iterations, state, host_source=pipeline)
         mngr.wait_until_finished()
         print(f"[nt-train] done: {json.dumps(metrics)}")
         return state
@@ -186,14 +229,30 @@ def entrypoint(argv=None):
     if cfg.pipeline_type == "splatad":
         # full-sensor loop: the pipeline dispatches per-modality jit steps itself
         state = pipeline.init_state(jax.random.PRNGKey(args.seed))
+        start = 0
+        if args.load_dir:
+            state, start = _load_ckpt(args.load_dir, state, host_source=pipeline.datamanager)
         mngr = _make_ckpt_manager()
         state_ref = {"state": state}
         if args.viewer:
             _start_viewer(pipeline, lambda: state_ref["state"], run_dir, args)
+        sharded_step = None
+        n_dev = len(jax.devices())
+        if not args.no_mesh and n_dev > 1:
+            # data-parallel by default: one camera frame / lidar scan per
+            # device, per-sample losses averaged, grads psum'd over the mesh
+            # (the reference DDP-wraps SplatAD too, splatad_pipeline.py:172)
+            from neurad_tpu.parallel.sharding import make_mesh
+
+            sharded_step = pipeline.make_sharded_train_step(make_mesh())
         metrics = {}
-        for i in range(cfg.trainer.max_num_iterations):
-            sample = pipeline.datamanager.next_train()
-            state, m = pipeline.train_step(state, sample)
+        for i in range(start, cfg.trainer.max_num_iterations):
+            if sharded_step is not None:
+                samples = pipeline.datamanager.next_train_batch(n_dev)
+                state, m = sharded_step(state, samples)
+            else:
+                sample = pipeline.datamanager.next_train()
+                state, m = pipeline.train_step(state, sample)
             state_ref["state"] = state
             if i % cfg.trainer.steps_per_log == 0:
                 metrics = {k: float(v) for k, v in m.items()}
@@ -203,8 +262,8 @@ def entrypoint(argv=None):
                 writer.write_scalars(i, {f"eval/{k}": v for k, v in ev.items()})
                 metrics.update({f"eval/{k}": v for k, v in ev.items()})
             if i > 0 and i % cfg.trainer.steps_per_save == 0:
-                _save_ckpt(mngr, i, state)
-        _save_ckpt(mngr, cfg.trainer.max_num_iterations, state)
+                _save_ckpt(mngr, i, state, host_source=pipeline.datamanager)
+        _save_ckpt(mngr, cfg.trainer.max_num_iterations, state, host_source=pipeline.datamanager)
         mngr.wait_until_finished()
         print(f"[nt-train] done: {json.dumps(metrics)}")
         return state
@@ -228,6 +287,8 @@ def entrypoint(argv=None):
     )
     # host sampler state rides the checkpoint for bit-exact resume
     trainer.datamanager = pipeline.datamanager
+    if args.load_dir:
+        trainer.load_checkpoint(from_dir=args.load_dir)
 
     if args.viewer:
         _start_viewer(pipeline, lambda: trainer.state, run_dir, args)

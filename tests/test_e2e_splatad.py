@@ -28,7 +28,7 @@ def pipeline():
 def test_splatad_trains(pipeline):
     state = pipeline.init_state()
     cam_losses, lid_losses = [], []
-    for i in range(30):
+    for i in range(150):
         sample = pipeline.datamanager.next_train()
         state, metrics = pipeline.train_step(state, sample)
         loss = float(metrics["total_loss"])
@@ -38,8 +38,11 @@ def test_splatad_trains(pipeline):
         else:
             lid_losses.append(float(metrics["depth_loss"]))
     assert cam_losses and lid_losses, "both modalities should be exercised"
-    # losses should broadly decrease (camera main loss)
-    assert np.mean(cam_losses[-3:]) < np.mean(cam_losses[:3]) * 1.5
+    # losses must REALLY decrease (same spirit as test_e2e_train.py's 0.9 bar;
+    # measured trajectory here reaches ~0.46x by step 150)
+    assert np.mean(cam_losses[-3:]) < np.mean(cam_losses[:3]) * 0.7, (
+        f"camera loss did not drop: first3={cam_losses[:3]} last3={cam_losses[-3:]}"
+    )
     pipeline._test_state = state
 
 
