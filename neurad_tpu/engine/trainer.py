@@ -158,7 +158,9 @@ class Trainer:
         rays_done = 0
         from neurad_tpu.engine.callbacks import TrainingCallbackLocation, run_callbacks
 
-        for i in range(n):
+        # resume: a restored checkpoint sets state.step, continue from there
+        # (reference `trainer.py:298` starts at `self._start_step`)
+        for i in range(int(self.state.step), n):
             if self.callbacks:
                 self.state = run_callbacks(
                     self.callbacks, self.state, i, TrainingCallbackLocation.BEFORE_TRAIN_ITERATION
@@ -235,26 +237,37 @@ class Trainer:
                     _json.dumps(rng_state, default=int)
                 )
 
-    def load_checkpoint(self, step: Optional[int] = None):
-        """Restore params/opt_state (`trainer.py:456-497`)."""
+    def load_checkpoint(self, step: Optional[int] = None, from_dir: Optional[str] = None):
+        """Restore params/opt_state (`trainer.py:456-497`).
+
+        from_dir: load from a DIFFERENT run's checkpoint directory (the
+        reference's `--load-dir`, `scripts/train.py` README:186-192); training
+        then continues into this run's own checkpoint dir.
+        """
         import orbax.checkpoint as ocp
 
         import json as _json
         from pathlib import Path as _Path
 
-        step = step if step is not None else self.checkpointer.latest_step()
+        mngr = self.checkpointer
+        if from_dir is not None:
+            mngr = ocp.CheckpointManager(str(_Path(from_dir).absolute()))
+        step = step if step is not None else mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {from_dir or self.config.checkpoint_dir}")
         tmpl = {"params": self.state.params, "opt_state": self.state.opt_state, "rng": self.state.rng}
         try:
-            restored = self.checkpointer.restore(step, args=ocp.args.StandardRestore(tmpl))
+            restored = mngr.restore(step, args=ocp.args.StandardRestore(tmpl))
             rng = restored["rng"]
         except Exception:  # older 2-field checkpoints
             tmpl.pop("rng")
-            restored = self.checkpointer.restore(step, args=ocp.args.StandardRestore(tmpl))
+            restored = mngr.restore(step, args=ocp.args.StandardRestore(tmpl))
             rng = self.state.rng
         self.state = self.state.replace(
             step=jnp.asarray(step), params=restored["params"], opt_state=restored["opt_state"], rng=rng
         )
-        if self.config.checkpoint_dir and self.datamanager is not None:
-            host = _Path(self.config.checkpoint_dir) / f"host_state_{step}.json"
+        host_dir = from_dir or self.config.checkpoint_dir
+        if host_dir and self.datamanager is not None:
+            host = _Path(host_dir) / f"host_state_{step}.json"
             if host.exists() and hasattr(self.datamanager, "set_rng_state"):
                 self.datamanager.set_rng_state(_json.loads(host.read_text()))
