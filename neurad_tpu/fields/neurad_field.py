@@ -79,6 +79,10 @@ class NeuRADField(nn.Module):
     # batch-capacity divisor of the compacted actor lookup (0 = dense path);
     # exposed so callers needing batch-size-independent outputs can disable it
     actor_compaction: int = 8
+    # MLP compute dtype; None = fp32 end-to-end (reference-exact numerics for
+    # the torch-oracle parity tests / parity preset), bf16 default matches the
+    # reference's fp16-autocast training (`engine/trainer.py:551`)
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     def setup(self):
         self.hashgrid = NeuRADHashEncoding(
@@ -91,10 +95,12 @@ class NeuRADField(nn.Module):
             actor_compaction=self.actor_compaction,
         )
         self.mlp_geo = MLP(
-            out_dim=self.nff_out_dim + 1, num_layers=self.geo_num_layers, layer_width=self.geo_hidden_dim
+            out_dim=self.nff_out_dim + 1, num_layers=self.geo_num_layers, layer_width=self.geo_hidden_dim,
+            compute_dtype=self.compute_dtype,
         )
         self.mlp_feature = MLP(
-            out_dim=self.nff_out_dim, num_layers=self.nff_num_layers, layer_width=self.nff_hidden_dim
+            out_dim=self.nff_out_dim, num_layers=self.nff_num_layers, layer_width=self.nff_hidden_dim,
+            compute_dtype=self.compute_dtype,
         )
         if self.use_sdf:
             self.sdf_to_alpha = SigmoidDensity(init_beta=self.sdf_beta, learnable_beta=self.learnable_beta)

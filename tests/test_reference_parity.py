@@ -39,6 +39,14 @@ def ref():
         m = types.ModuleType(name)
         for a in attrs:
             setattr(m, a, type(a, (), {}))
+        # PEP 562 module __getattr__: auto-generate placeholder classes for any
+        # other attribute the reference imports (viser handles, etc.)
+        def _getattr(a, _n=name):
+            if a.startswith("__"):
+                raise AttributeError(a)
+            return type(a, (), {})
+
+        m.__getattr__ = _getattr
         sys.modules[name] = m
         return m
 
