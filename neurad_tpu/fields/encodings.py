@@ -49,13 +49,20 @@ class HashEncoding(nn.Module):
         _, self.dense_res, self.bucket_pack = he.level_layout(
             scales_np, self.n_input_dims, self.table_size, self.cell_packed
         )
-        self.hash_table = self.param(
+        # 1-D param leaves, 2-D views at the use site (see ops/hash_encoding
+        # flatten_tables: prevents a per-step optimizer relayout pathology)
+        shapes = he.table_physical_shapes(
+            scales_np, self.n_input_dims, self.table_size, self.features_per_level,
+            cell_packed=self.cell_packed,
+        )
+        flat = self.param(
             "hash_table",
-            lambda key: he.init_hash_tables(
+            lambda key: he.flatten_tables(he.init_hash_tables(
                 key, scales_np, self.n_input_dims, self.table_size, self.features_per_level,
                 self.hash_init_scale, cell_packed=self.cell_packed,
-            ),
+            )),
         )
+        self.hash_table = he.unflatten_tables(flat, shapes)
 
     def __call__(self, positions) -> jnp.ndarray:
         if isinstance(positions, GaussiansStd):

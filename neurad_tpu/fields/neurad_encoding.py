@@ -51,6 +51,11 @@ class StaticSettings(NamedTuple):
     max_res: int = 8192
     log2_hashmap_size: int = 22
     cell_packed: bool = True
+    # parity=True reproduces the reference torch fallback EXACTLY: every level
+    # hashed into 2^log2_hashmap_size entries (no dense sizing, no bucket
+    # packing) and fp32 table reads. Set cell_packed=False alongside. Used by
+    # the torch-oracle parity tests and the reference-faithful preset.
+    parity: bool = False
 
 
 class ActorSettings(NamedTuple):
@@ -64,6 +69,7 @@ class ActorSettings(NamedTuple):
     max_res: int = 1024
     log2_hashmap_size: int = 17
     cell_packed: bool = True
+    parity: bool = False
 
 
 class NeuRADHashEncoding(nn.Module):
@@ -101,28 +107,41 @@ class NeuRADHashEncoding(nn.Module):
         # per-level tables: dense-sized coarse levels + independent per-level
         # gradient scatters (see ops/hash_encoding.init_hash_tables)
         _, self.static_dense_res, self.static_pack = he.level_layout(
-            static_scales_np, 3, self.static_table_size, s.cell_packed
+            static_scales_np, 3, self.static_table_size, s.cell_packed, force_hash=s.parity
         )
-        self.static_table = self.param(
+        # tables are stored as 1-D param leaves and viewed 2-D at the use site
+        # (see ops/hash_encoding.flatten_tables: kills a 76 ms/step optimizer
+        # relayout pathology XLA produces for 2-D fp32 masters)
+        static_shapes = he.table_physical_shapes(
+            static_scales_np, 3, self.static_table_size, s.hashgrid_dim,
+            cell_packed=s.cell_packed, force_hash=s.parity,
+        )
+        static_flat = self.param(
             "static_hash_table",
-            lambda key: he.init_hash_tables(
+            lambda key: he.flatten_tables(he.init_hash_tables(
                 key, static_scales_np, 3, self.static_table_size, s.hashgrid_dim,
-                cell_packed=s.cell_packed,
-            ),
+                cell_packed=s.cell_packed, force_hash=s.parity,
+            )),
         )
+        self.static_table = he.unflatten_tables(static_flat, static_shapes)
         self.actor_table_size = max(2**a.log2_hashmap_size // (16 if a.cell_packed else 1), 1)
         actor_scales_np = he.level_scales(a.num_levels, a.base_res, a.max_res)
         self.actor_scales = jnp.asarray(actor_scales_np)
         _, self.actor_dense_res, self.actor_pack = he.level_layout(
-            actor_scales_np, 4, self.actor_table_size, a.cell_packed
+            actor_scales_np, 4, self.actor_table_size, a.cell_packed, force_hash=a.parity
         )
-        self.actor_table = self.param(
+        actor_shapes = he.table_physical_shapes(
+            actor_scales_np, 4, self.actor_table_size, a.hashgrid_dim,
+            cell_packed=a.cell_packed, force_hash=a.parity,
+        )
+        actor_flat = self.param(
             "actor_hash_table",
-            lambda key: he.init_hash_tables(
+            lambda key: he.flatten_tables(he.init_hash_tables(
                 key, actor_scales_np, 4, self.actor_table_size, a.hashgrid_dim,
-                cell_packed=a.cell_packed,  # 4D grid
-            ),
+                cell_packed=a.cell_packed, force_hash=a.parity,  # 4D grid
+            )),
         )
+        self.actor_table = he.unflatten_tables(actor_flat, actor_shapes)
 
     def __call__(
         self,
@@ -136,9 +155,11 @@ class NeuRADHashEncoding(nn.Module):
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         # ---- static world features (`neurad_encoding.py:167-171,265-268`) ----
         static_g = scaled_scene_contraction_gaussian(positions, self.static_scale)
+        static_gather_dtype = None if self.static.parity else jnp.bfloat16
         features = he.hash_encode_gaussians(
             static_g.mean, static_g.std, self.static_table, self.static_scales,
             cell_packed=self.static.cell_packed, dense_res=self.static_dense_res, bucket_pack=self.static_pack,
+            gather_dtype=static_gather_dtype,
         )  # [R, S, L*F]
 
         if self.disable_actors or self.actors.n_actors == 0:
@@ -244,6 +265,7 @@ class NeuRADHashEncoding(nn.Module):
             sel_feats = he.hash_encode_gaussians(
                 flat_mean4[top_idx], flat_std[top_idx], self.actor_table, self.actor_scales,
                 cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res, bucket_pack=self.actor_pack,
+                gather_dtype=None if self.actor.parity else jnp.bfloat16,
             )  # [cap, La*Fa]
             actor_feats = (
                 jnp.zeros((r * s, sel_feats.shape[-1]), sel_feats.dtype)
@@ -265,6 +287,7 @@ class NeuRADHashEncoding(nn.Module):
             actor_feats = he.hash_encode_gaussians(
                 mean4, actor_g.std, self.actor_table, self.actor_scales,
                 cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res, bucket_pack=self.actor_pack,
+                gather_dtype=None if self.actor.parity else jnp.bfloat16,
             )  # [R, S, La*Fa]
 
         pad = self.out_dim - actor_feats.shape[-1]

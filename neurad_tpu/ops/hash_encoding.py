@@ -67,14 +67,21 @@ _FAST_GATHER_MAX_ROWS = 2**18
 
 
 def level_layout(
-    scales: "np.ndarray", d: int, max_rows: int, cell_packed: bool
+    scales: "np.ndarray", d: int, max_rows: int, cell_packed: bool, force_hash: bool = False
 ) -> Tuple[Tuple[int, ...], Tuple[Optional[int], ...], Tuple[int, ...]]:
     """Per-level (buckets, dense_res, bucket_pack).
 
     buckets = logical table entries (tcnn sizing rule, see `level_rows`);
     bucket_pack = how many buckets share one physical row so the row count
     stays under the measured v5e fast-gather threshold.
+
+    force_hash=True hashes EVERY level into `max_rows` entries with no bucket
+    packing — the layout of the reference's torch fallback
+    (`encodings.py:406-466`), used by the torch-oracle parity tests and the
+    reference-faithful presets.
     """
+    if force_hash:
+        return (max_rows,) * len(scales), (None,) * len(scales), (1,) * len(scales)
     rows, dense = level_rows(scales, d, max_rows, cell_packed)
     packs = []
     for r in rows:
@@ -123,21 +130,60 @@ def init_hash_tables(
     features_per_level: int,
     scale: float = 0.001,
     cell_packed: bool = False,
+    force_hash: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Per-level tables as a TUPLE of [rows_l, F_row] arrays.
 
-    Separate arrays (not one concatenated [L*T, F]) are load-bearing on TPU:
-    independent per-level gradient scatter-adds overlap in XLA's scheduler
-    (~480 M rows/s aggregate, measured) while assembling them into one buffer
-    serializes the scatters behind dynamic-update-slices (~64 M rows/s).
+    Separate arrays (not one concatenated [L*T, F]) right-size each level's
+    gather operand (dense coarse levels stay in the fast-gather domain) and
+    let the gradient pytree skip the concatenate. NOTE (round-3 correction):
+    the independent per-level backward scatters do NOT overlap in practice —
+    an honest microbenchmark (all outputs live, `benchmarks/scatter_matmul.py`
+    strategy J) measures 6 per-level scatters at the same ~68 M rows/s as one
+    fused scatter; the round-2 "~480 M rows/s aggregate" figure was a
+    dead-code-elimination artifact. The layout is kept for the gather-side
+    wins, not the scatter side.
     """
-    rows, _, packs = level_layout(scales, d, max_rows, cell_packed)
+    rows, _, packs = level_layout(scales, d, max_rows, cell_packed, force_hash)
     f_row = features_per_level * ((2**d) if cell_packed else 1)
     keys = jax.random.split(key, len(rows))
     return tuple(
         (jax.random.uniform(k, (-(-r // p), f_row * p), minval=-1.0, maxval=1.0) * scale).astype(jnp.float32)
         for k, r, p in zip(keys, rows, packs)
     )
+
+
+def table_physical_shapes(
+    scales: "np.ndarray",
+    d: int,
+    max_rows: int,
+    features_per_level: int,
+    cell_packed: bool = False,
+    force_hash: bool = False,
+) -> Tuple[Tuple[int, int], ...]:
+    """Per-level physical [rows, f_row] shapes matching `init_hash_tables`."""
+    rows, _, packs = level_layout(scales, d, max_rows, cell_packed, force_hash)
+    f_row = features_per_level * ((2**d) if cell_packed else 1)
+    return tuple((-(-r // p), f_row * p) for r, p in zip(rows, packs))
+
+
+def flatten_tables(tables: Tuple[jnp.ndarray, ...]) -> Tuple[jnp.ndarray, ...]:
+    """Store hash tables as 1-D PARAM leaves (reshape to 2-D at the use site).
+
+    Load-bearing on TPU (measured, round 3): with 2-D fp32 master tables XLA's
+    layout assignment gave the scatter-add gradient {1,0} (row-major) but the
+    param/mu/nu Adam state {0,1} (column-major), and reconciled them EVERY STEP
+    with strided 8-column async slice-copies at ~180 MB/s — 76 ms/step of pure
+    relayout on the dense level alone (6x 12.7 ms `slice-start` ops in the
+    trace). A 1-D leaf has exactly one possible layout, so the optimizer
+    update is forced to stay elementwise; the 2-D view needed by the forward
+    gather rides the existing fp32->bf16 cast copy for free."""
+    return tuple(t.reshape(-1) for t in tables)
+
+
+def unflatten_tables(flat: Tuple[jnp.ndarray, ...], shapes: Tuple[Tuple[int, int], ...]) -> Tuple[jnp.ndarray, ...]:
+    """Views of 1-D table leaves in their physical [rows, f_row] shapes."""
+    return tuple(t.reshape(s) for t, s in zip(flat, shapes))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -407,6 +453,7 @@ def hash_encode_gaussians(
     cell_packed: bool = False,
     dense_res: Optional[Tuple[Optional[int], ...]] = None,
     bucket_pack: Optional[Tuple[int, ...]] = None,
+    gather_dtype: Optional[jnp.dtype] = jnp.bfloat16,
 ) -> jnp.ndarray:
     """Encode multisampled gaussians and average over multisamples
     (`neurad_encoding.py:265-268,297-304`).
@@ -414,13 +461,15 @@ def hash_encode_gaussians(
     Args:
         gauss_mean: [..., M, D] multisample means in [0,1]^D.
         gauss_std: [..., M, 1] stds (grid units).
+        gather_dtype: table-read dtype (see `hash_encode`); None = fp32 reads
+            for reference-exact numerics.
     Returns:
         [..., num_levels * F] features averaged over the M multisamples.
     """
     w = gaussian_level_weights(gauss_std, scales)  # [..., M, L]
     feats = hash_encode(
         gauss_mean, table, scales, table_size, level_weights=w, cell_packed=cell_packed,
-        dense_res=dense_res, bucket_pack=bucket_pack,
+        dense_res=dense_res, bucket_pack=bucket_pack, gather_dtype=gather_dtype,
     )  # [..., M, L*F]
     return feats.mean(axis=-2)
 
