@@ -60,11 +60,16 @@ def guard(name, fn, rows):
 
 
 def chain(body):
+    # Fold EVERY output leaf into the carry: reducing only leaves[0] lets XLA
+    # DCE the other outputs (e.g. 5 of 6 per-level scatters, or the payload
+    # columns of a sort), silently inflating the measured rate.
     @jax.jit
     def run(idx, g):
         def it(i, s):
             out = body(idx, g, i)
-            return s + jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32))
+            return s + sum(
+                jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(out)
+            )
         return lax.fori_loop(0, K_CHAIN, it, jnp.float32(0))
     return run
 
@@ -162,7 +167,12 @@ def main():
     ref = jnp.zeros((1024, 4), jnp.float32).at[small_idx].add(small_g)
     got = tile_matmul_scatter(small_idx, small_g, 1024, 128, cap=1024, tile_batch=4)
     err = float(jnp.max(jnp.abs(ref - got)))
-    print(f"correctness vmap variant (max abs err, bf16-matmul rounding): {err:.2e}", flush=True)
+    print(f"correctness vmap variant f32 (max abs err): {err:.2e}", flush=True)
+    got_bf = tile_matmul_scatter(
+        small_idx, small_g, 1024, 128, cap=1024, compute_dtype=jnp.bfloat16, tile_batch=4
+    )
+    err_bf = float(jnp.max(jnp.abs(ref - got_bf)))
+    print(f"correctness vmap variant bf16 (max abs err, bf16-matmul rounding): {err_bf:.2e}", flush=True)
     got2 = tile_matmul_scatter_seq(small_idx, small_g, 1024, 128, cap=1024, compute_dtype=jnp.float32)
     err2 = float(jnp.max(jnp.abs(ref - got2)))
     print(f"correctness seq variant f32: {err2:.2e}", flush=True)

@@ -55,17 +55,28 @@ def guard(name, fn, rows):
 
 
 def chain(body):
+    # Fold EVERY output leaf into the carry — reducing only leaves[0] lets XLA
+    # DCE the rest (5 of 6 levels in E/F, payload sort columns in D).
     @jax.jit
     def run(*args):
         def it(i, s):
             out = body(*args, i)
-            return s + jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32))
+            return s + sum(
+                jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(out)
+            )
         return lax.fori_loop(0, K_CHAIN, it, jnp.float32(0))
     return run
 
 
 def sharded_scatter(idx, g, n_rows, n_shards, cap, accum_dtype=jnp.bfloat16):
-    """sort-routed sharded scatter-add: [N] idx, [N, F] g -> [n_rows, F]."""
+    """sort-routed sharded scatter-add: [N] idx, [N, F] g -> [n_rows, F].
+
+    CAVEAT (do not port as-is): updates beyond `cap` sorted rows per shard are
+    SILENTLY DROPPED. cap = mean + 8 sigma is Poisson-tight only for uniform
+    random keys; real hash-key distributions cluster and need an overflow
+    check — production code must assert (ends - starts).max() <= cap (see
+    `ops/hash_encoding.py`'s overflow telemetry pattern) or fall back.
+    """
     N, F = g.shape
     gb = g.astype(jnp.bfloat16)
     packed = lax.bitcast_convert_type(gb.reshape(N, F // 2, 2), jnp.int32)  # [N, F/2]
@@ -122,6 +133,17 @@ def main():
     got = sharded_scatter(sm_idx, sm_g, 16384, 8, cap=4096)
     err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
     print(f"correctness sharded vs .at[].add (bf16): {err:.2e}", flush=True)
+    # overflow guard for the benchmark shapes: assert no shard exceeds its cap
+    for n_shards, cap in ((32, None), (64, None), (128, None), (64, 15360)):
+        if cap is None:
+            mean = N / n_shards
+            cap = int(np.ceil((mean + 8 * np.sqrt(mean) + 64) / 128) * 128)
+        si = jnp.sort(idx_b)
+        st = jnp.searchsorted(si, jnp.arange(n_shards, dtype=si.dtype) * (BUCKETS // n_shards))
+        en = jnp.concatenate([st[1:], jnp.array([N], st.dtype)])
+        worst = int(jnp.max(en - st))
+        assert worst <= cap, f"shard overflow: {worst} > cap {cap} at n_shards={n_shards}"
+    print("overflow check: all shard caps hold for these keys", flush=True)
 
     # A: current production — physical-row scatter, wide updates, 268MB bf16 acc
     def prod(idx, g, i):
