@@ -297,10 +297,15 @@ def _gather_levels_multi(read_bf16: bool, shapes: tuple, tables: tuple, idx: tup
 
 
 def _gather_levels_multi_impl(read_bf16, tables, idx):
+    # bf16 reads STAY bf16: the interpolation downstream runs in bf16 (tcnn
+    # computes the whole encoding in fp16), so the backward cotangent arrives
+    # bf16-native — round 3 traced 18 ms/step of fp32->bf16 converts plus a
+    # 10 ms fp32 outer-product mul on the [n, f_row] update tensors when the
+    # gather cast back to fp32 here.
     outs = []
     for tbl, idx_l in zip(tables, idx):
         src = tbl.astype(jnp.bfloat16) if read_bf16 else tbl
-        outs.append(jnp.take(src, idx_l, axis=0).astype(tbl.dtype))
+        outs.append(jnp.take(src, idx_l, axis=0))
     return tuple(outs)
 
 
@@ -418,6 +423,11 @@ def hash_encode(
         )  # [..., C]
         feats = feats_per_level[l]
         pk = bucket_pack[l]
+        # interpolate in the TABLE-READ dtype (bf16 on the fast path, like
+        # tcnn's fp16 encoding math): the [.., f_row]-wide select/mul tensors
+        # and their backward cotangents then never materialize in fp32 — the
+        # fp32 upcast happens on the narrow [.., F] interpolated result.
+        w = w.astype(feats.dtype)
         if pk > 1:
             # select the logical bucket's slice from the packed row
             feats = feats.reshape(feats.shape[:-1] + (pk, f_row))
@@ -425,7 +435,7 @@ def hash_encode(
             feats = jnp.sum(feats * sel[..., None], axis=-2)  # [..., F_row]
         if cell_packed:
             feats = feats.reshape(feats.shape[:-1] + (n_corners, f))  # [..., C, F]
-        o = jnp.sum(feats * w[..., None], axis=-2)  # [..., F]
+        o = jnp.sum(feats * w[..., None], axis=-2).astype(jnp.float32)  # [..., F]
         if level_weights is not None:
             o = o * level_weights[..., l][..., None]
         outs.append(o)
