@@ -1,0 +1,160 @@
+"""Quality A/B of the TPU-first NeuRAD deviations vs reference-faithful numerics.
+
+The TPU defaults deviate from the reference architecture in three places:
+  1. proposal_mode="mlp"  — matmul-only proposal density instead of the
+     reference's 6-level hashgrid proposal fields
+     (`/root/reference/nerfstudio/fields/density_fields.py:35`, wired at
+     `models/neurad.py:227-248`);
+  2. cell_packed=True     — per-cell corner rows (one gather per sample-level)
+     instead of tcnn's face-shared corner entries;
+  3. bf16 numerics        — bf16 table reads + bf16 field MLPs (the reference
+     trains under fp16 autocast, `engine/trainer.py:551`, so this is *closer*
+     to the reference's precision than fp32 would be, but still a deviation
+     from its fp32-master semantics).
+
+Each arm trains the SAME synthetic dynamic scene with the SAME seed and data
+stream, then evaluates PSNR/SSIM/LPIPS + lidar metrics on the held-out split.
+Results land in benchmarks/quality_ab_results.json (incrementally, one entry
+per finished arm) and print as a markdown table for PERFORMANCE.md.
+
+Usage:  python benchmarks/quality_ab.py [--steps 1500] [--arms default,fp32,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ARMS = ["default", "prop-hashgrid", "mlp-big", "unpacked", "fp32", "faithful"]
+
+# cell_packed=False (8 gathers/sample-level) overflows one v5e without
+# rematerialization at the full batch: those arms get lax.map ray chunking
+# (pure recompute — identical math, so the quality comparison is unaffected)
+ARM_CHUNK = {"unpacked": 8192, "faithful": 8192}
+
+
+def build_overrides(arm: str) -> dict:
+    from neurad_tpu.fields.neurad_encoding import ActorSettings, StaticSettings
+    from neurad_tpu.models.neurad import MLPProposalSettings
+
+    if arm == "default":
+        return {}
+    if arm == "prop-hashgrid":
+        return dict(proposal_mode="hashgrid")
+    if arm == "mlp-big":
+        # capacity sweep for the matmul-native proposal: if the default MLP
+        # proposal trails the hashgrid proposal on PSNR, this tells whether
+        # the gap is capacity (fixable ~free on MXU) or inductive bias
+        return dict(proposal_mlp=MLPProposalSettings(num_freqs=12, hidden_dim=256, num_layers=3))
+    if arm == "unpacked":
+        return dict(
+            field_static=StaticSettings(cell_packed=False),
+            field_actor=ActorSettings(flip_prob=0.25, cell_packed=False),
+        )
+    if arm == "fp32":
+        return dict(compute_fp32=True)
+    if arm == "faithful":
+        # reference numerics end-to-end: hashgrid proposals, face-shared
+        # corners (cell_packed=False), the reference's hashed-every-level
+        # table layout (parity=True), fp32 reads + fp32 field MLPs
+        return dict(
+            proposal_mode="hashgrid",
+            compute_fp32=True,
+            field_static=StaticSettings(cell_packed=False, parity=True),
+            field_actor=ActorSettings(flip_prob=0.25, cell_packed=False, parity=True),
+            proposal_static=(
+                StaticSettings(
+                    log2_hashmap_size=20, num_levels=6, max_res=4096, base_res=128,
+                    hashgrid_dim=1, cell_packed=False, parity=True,
+                ),
+            ) * 2,
+            proposal_actor=ActorSettings(
+                log2_hashmap_size=15, num_levels=4, base_res=64, max_res=1024,
+                hashgrid_dim=1, cell_packed=False, parity=True,
+            ),
+        )
+    raise ValueError(f"unknown arm {arm!r}")
+
+
+def run_arm(arm: str, steps: int, seed: int) -> dict:
+    import jax
+
+    from neurad_tpu.data.datamanager import ADDataManagerConfig
+    from neurad_tpu.data.dataparsers.synthetic import SyntheticDataParserConfig
+    from neurad_tpu.pipelines.ad_pipeline import ADPipeline, ADPipelineConfig
+
+    parser = SyntheticDataParserConfig(num_frames=10, image_height=96, image_width=144).setup()
+    outputs = parser.get_dataparser_outputs()
+    config = ADPipelineConfig(
+        datamanager=ADDataManagerConfig(num_cam_patches=16, patch_size=32, num_lidar_rays=4096),
+        model_overrides=build_overrides(arm),
+        train_ray_chunk=ARM_CHUNK.get(arm, 0),
+        seed=seed,
+    )
+    pipe = ADPipeline(outputs, config)
+    state, tx = pipe.init_state()
+    step_fn = pipe.make_train_step(tx)
+
+    t_start = time.perf_counter()
+    losses = []
+    for i in range(steps):
+        state, metrics = step_fn(state, *pipe.datamanager.next_train())
+        if i % 100 == 0 or i == steps - 1:
+            loss = float(metrics["total_loss"])
+            losses.append(loss)
+            print(f"[{arm}] step {i}: loss={loss:.4f}", flush=True)
+    jax.block_until_ready(state.params)
+    train_s = time.perf_counter() - t_start
+
+    ev = pipe.eval_metrics(state)
+    ev["arm"] = arm
+    ev["steps"] = steps
+    ev["seed"] = seed
+    ev["train_s"] = round(train_s, 1)
+    ev["ms_per_step"] = round(1000.0 * train_s / steps, 1)
+    ev["final_loss"] = losses[-1]
+    return ev
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--arms", type=str, default=",".join(ARMS))
+    ap.add_argument("--out", type=str, default=os.path.join(os.path.dirname(__file__), "quality_ab_results.json"))
+    args = ap.parse_args()
+
+    results = []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+    done = {(r["arm"], r["steps"], r["seed"]) for r in results}
+
+    for arm in args.arms.split(","):
+        if (arm, args.steps, args.seed) in done:
+            print(f"[skip] {arm} already in {args.out}")
+            continue
+        print(f"=== arm {arm} ===", flush=True)
+        r = run_arm(arm, args.steps, args.seed)
+        results.append(r)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(r), flush=True)
+
+    # markdown table for PERFORMANCE.md
+    cols = ["arm", "psnr", "ssim", "lpips", "depth_median_l2", "intensity_rmse", "chamfer_distance", "ms_per_step"]
+    print("\n| " + " | ".join(cols) + " |")
+    print("|" + "---|" * len(cols))
+    for r in results:
+        print("| " + " | ".join(
+            (f"{r[c]:.3f}" if isinstance(r.get(c), float) else str(r.get(c, "-"))) for c in cols
+        ) + " |")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,9 @@ class StaticSettings(NamedTuple):
     # packing) and fp32 table reads. Set cell_packed=False alongside. Used by
     # the torch-oracle parity tests and the reference-faithful preset.
     parity: bool = False
+    # fp32 table reads WITHOUT the parity layout change (quality-A/B knob:
+    # isolates the bf16-read numerics from the dense-sizing/packing layout)
+    gather_f32: bool = False
 
 
 class ActorSettings(NamedTuple):
@@ -70,6 +73,7 @@ class ActorSettings(NamedTuple):
     log2_hashmap_size: int = 17
     cell_packed: bool = True
     parity: bool = False
+    gather_f32: bool = False
 
 
 class NeuRADHashEncoding(nn.Module):
@@ -155,7 +159,7 @@ class NeuRADHashEncoding(nn.Module):
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         # ---- static world features (`neurad_encoding.py:167-171,265-268`) ----
         static_g = scaled_scene_contraction_gaussian(positions, self.static_scale)
-        static_gather_dtype = None if self.static.parity else jnp.bfloat16
+        static_gather_dtype = None if (self.static.parity or self.static.gather_f32) else jnp.bfloat16
         features = he.hash_encode_gaussians(
             static_g.mean, static_g.std, self.static_table, self.static_scales,
             cell_packed=self.static.cell_packed, dense_res=self.static_dense_res, bucket_pack=self.static_pack,
@@ -265,7 +269,7 @@ class NeuRADHashEncoding(nn.Module):
             sel_feats = he.hash_encode_gaussians(
                 flat_mean4[top_idx], flat_std[top_idx], self.actor_table, self.actor_scales,
                 cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res, bucket_pack=self.actor_pack,
-                gather_dtype=None if self.actor.parity else jnp.bfloat16,
+                gather_dtype=None if (self.actor.parity or self.actor.gather_f32) else jnp.bfloat16,
             )  # [cap, La*Fa]
             actor_feats = (
                 jnp.zeros((r * s, sel_feats.shape[-1]), sel_feats.dtype)
@@ -287,7 +291,7 @@ class NeuRADHashEncoding(nn.Module):
             actor_feats = he.hash_encode_gaussians(
                 mean4, actor_g.std, self.actor_table, self.actor_scales,
                 cell_packed=self.actor.cell_packed, dense_res=self.actor_dense_res, bucket_pack=self.actor_pack,
-                gather_dtype=None if self.actor.parity else jnp.bfloat16,
+                gather_dtype=None if (self.actor.parity or self.actor.gather_f32) else jnp.bfloat16,
             )  # [R, S, La*Fa]
 
         pad = self.out_dim - actor_feats.shape[-1]

@@ -56,6 +56,18 @@ class LossSettings(NamedTuple):
     prop_lidar_loss_mult: float = 0.1
 
 
+class MLPProposalSettings(NamedTuple):
+    """Capacity knobs for the TPU-native MLP proposal field
+    (`fields/neurad_field.py` MLPProposalField; matmul-only, so capacity is
+    nearly free vs the gather-bound hashgrid proposals)."""
+
+    num_freqs: int = 10
+    num_time_freqs: int = 4
+    time_scale: float = 0.25
+    hidden_dim: int = 128
+    num_layers: int = 2
+
+
 class SamplingSettings(NamedTuple):
     """Proposal sampling settings (`models/neurad.py:98-117`)."""
 
@@ -94,6 +106,11 @@ class NeuRADModel(nn.Module):
     # "mlp" (TPU-native fourier+MLP density, matmul-only) or "hashgrid"
     # (reference-faithful 6-level hash proposal, `neurad_field.py:185-216`)
     proposal_mode: str = "mlp"
+    proposal_mlp: MLPProposalSettings = MLPProposalSettings()
+    # fp32 end-to-end numerics: fp32 hash-table reads + fp32 field MLPs
+    # (quality-A/B knob; default bf16 matches the reference's fp16-autocast
+    # training, `engine/trainer.py:551`)
+    compute_fp32: bool = False
     appearance_dim: int = 16
     use_temporal_appearance: bool = True
     temporal_appearance_freq: float = 1.0
@@ -121,20 +138,25 @@ class NeuRADModel(nn.Module):
 
     def setup(self):
         self.actors = DynamicActors(data=self.actor_data, optimize_trajectories=self.optimize_trajectories)
+        field_static, field_actor = self.field_static, self.field_actor
+        if self.compute_fp32:
+            field_static = field_static._replace(gather_f32=True)
+            field_actor = field_actor._replace(gather_f32=True)
         self.field = NeuRADField(
             actors=self.actors,
             static_scale=self.static_scale,
-            static=self.field_static,
-            actor=self.field_actor,
+            static=field_static,
+            actor=field_actor,
             nff_out_dim=self.nff_out_dim,
             use_sdf=self.use_sdf,
             max_actors_per_ray=self.max_actors_per_ray,
             actor_compaction=self.actor_compaction,
+            compute_dtype=None if self.compute_fp32 else jnp.bfloat16,
         )
         if self.proposal_mode == "mlp":
             # TPU-native default: matmul-only proposal density (see MLPProposalField)
             self.proposal_fields = [
-                MLPProposalField(static_scale=self.static_scale, name=f"proposal_field_{i}")
+                MLPProposalField(static_scale=self.static_scale, name=f"proposal_field_{i}", **self.proposal_mlp._asdict())
                 for i in range(len(self.proposal_static))
             ]
         else:

@@ -69,8 +69,9 @@ def test_sharded_step_matches_unsharded(pipeline):
     for bundle, batch in batches:
         s8, m8 = sharded_step(s8, bundle, batch)
 
-    # final losses agree
-    np.testing.assert_allclose(float(m8["total_loss"]), float(m1["total_loss"]), rtol=1e-4)
+    # final losses agree (bf16 compute + psum reduction-order noise passes
+    # through 3 Adam steps; a wrong-sharding bug would be O(0.1))
+    np.testing.assert_allclose(float(m8["total_loss"]), float(m1["total_loss"]), rtol=1e-3)
     # parameters agree after 3 steps
     flat1 = jax.tree_util.tree_leaves(s1.params)
     flat8 = jax.tree_util.tree_leaves(s8.params)
