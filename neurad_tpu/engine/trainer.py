@@ -140,6 +140,9 @@ class Trainer:
         self._degraded_evals = 0
         # optional host-side RNG state capture for bit-exact resume
         self.datamanager = None
+        # optional live viewer: per-step pause/throttle gate + stats push
+        # (the reference's train-rate control, `viewer.py:58`)
+        self.viewer = None
         self.checkpointer = None
         if self.config.checkpoint_dir:
             import orbax.checkpoint as ocp
@@ -161,6 +164,8 @@ class Trainer:
         # resume: a restored checkpoint sets state.step, continue from there
         # (reference `trainer.py:298` starts at `self._start_step`)
         for i in range(int(self.state.step), n):
+            if self.viewer is not None:
+                self.viewer.train_gate()
             if self.callbacks:
                 self.state = run_callbacks(
                     self.callbacks, self.state, i, TrainingCallbackLocation.BEFORE_TRAIN_ITERATION
@@ -183,6 +188,13 @@ class Trainer:
                 rays_done = 0
                 if self.writer is not None:
                     self.writer.write_scalars(step, last_metrics)
+                if self.viewer is not None:
+                    rays_per_step = bundle.origins.shape[0] if hasattr(bundle, "origins") else bundle.shape[0]
+                    self.viewer.update_train_stats(
+                        step,
+                        loss=last_metrics.get("total_loss"),
+                        steps_per_sec=last_metrics["train_rays_per_sec"] / max(rays_per_step, 1),
+                    )
 
             if self.eval_fn is not None and step > 0 and step % cfg.steps_per_eval_batch == 0:
                 eval_metrics = self.eval_fn(self.state)

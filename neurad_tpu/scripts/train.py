@@ -144,9 +144,11 @@ def entrypoint(argv=None):
                 export_pointcloud(pipeline, get_state(), path)
             return str(path)
 
-        ViewerServer(
+        server = ViewerServer(
             render_fn, port=args.viewer_port, lidar_fn=lidar_fn, export_fn=export_fn
-        ).start(background=True)
+        )
+        server.start(background=True)
+        return server
 
     def _make_ckpt_manager():
         import orbax.checkpoint as ocp
@@ -234,8 +236,9 @@ def entrypoint(argv=None):
             state, start = _load_ckpt(args.load_dir, state, host_source=pipeline.datamanager)
         mngr = _make_ckpt_manager()
         state_ref = {"state": state}
+        viewer = None
         if args.viewer:
-            _start_viewer(pipeline, lambda: state_ref["state"], run_dir, args)
+            viewer = _start_viewer(pipeline, lambda: state_ref["state"], run_dir, args)
         sharded_step = None
         n_dev = len(jax.devices())
         if not args.no_mesh and n_dev > 1:
@@ -247,6 +250,8 @@ def entrypoint(argv=None):
             sharded_step = pipeline.make_sharded_train_step(make_mesh())
         metrics = {}
         for i in range(start, cfg.trainer.max_num_iterations):
+            if viewer is not None:
+                viewer.train_gate()
             if sharded_step is not None:
                 samples = pipeline.datamanager.next_train_batch(n_dev)
                 state, m = sharded_step(state, samples)
@@ -257,6 +262,8 @@ def entrypoint(argv=None):
             if i % cfg.trainer.steps_per_log == 0:
                 metrics = {k: float(v) for k, v in m.items()}
                 writer.write_scalars(i, metrics)
+                if viewer is not None:
+                    viewer.update_train_stats(i, loss=metrics.get("loss") or metrics.get("total_loss"))
             if i > 0 and i % cfg.trainer.steps_per_eval_batch == 0:
                 ev = pipeline.eval_metrics(state)
                 writer.write_scalars(i, {f"eval/{k}": v for k, v in ev.items()})
@@ -291,7 +298,7 @@ def entrypoint(argv=None):
         trainer.load_checkpoint(from_dir=args.load_dir)
 
     if args.viewer:
-        _start_viewer(pipeline, lambda: trainer.state, run_dir, args)
+        trainer.viewer = _start_viewer(pipeline, lambda: trainer.state, run_dir, args)
 
     metrics = trainer.train()
     print(f"[nt-train] done: {json.dumps(metrics)}")

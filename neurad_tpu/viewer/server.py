@@ -10,10 +10,20 @@ the camera moves, full-res when static (the low_move/low_static/high FSM).
 
 Endpoints:
   GET  /         the viewer page
-  POST /render   {pose, quality, t01, edits} -> {png}
+  POST /render   {pose, quality, t01, edits, client, seq} -> {png} or {stale}
   POST /lidar    {t01, channels, fov_up, fov_down, azim_res, drop_threshold}
                  -> {pts: [[x,y,z,intensity], ...]} (virtual-lidar render)
   POST /export   {} -> {path} (server-side pointcloud export hook)
+  POST /train    {paused?, train_util?} -> live train stats (step, loss,
+                 steps/s) — the reference's pause/resume + "train util" slider
+                 (`viewer.py:58` Viewer controls, `trainer.py:171` train_lock)
+
+Render state is PER CLIENT (the reference keeps one RenderStateMachine per
+websocket client, `render_state_machine.py:57`): each client stamps its
+requests with a monotonically increasing seq; when a newer request from the
+same client has already arrived, the older one returns {stale} WITHOUT taking
+the train lock — dragging the camera can't queue up a backlog of renders that
+starves training or other clients.
 """
 
 from __future__ import annotations
@@ -52,6 +62,11 @@ button { background:#333; color:#eee; border:1px solid #666; border-radius:4px; 
     <div class="row">channels <input type="number" id="li_ch" min="4" max="128" value="32" style="width:50px"></div>
     <div class="row">azim res <input type="number" id="li_az" min="0.2" max="5" step="0.2" value="1.0" style="width:50px">deg</div>
     <div class="row">drop thresh <input type="range" id="li_dt" min="0" max="1" step="0.05" value="0.5"><span id="v_dt">0.5</span></div>
+  </details>
+  <details open><summary>training</summary>
+    <div class="row"><button id="pause">pause</button>
+      util <input type="range" id="t_util" min="0.1" max="1" step="0.05" value="0.9"><span id="v_util">0.90</span></div>
+    <div class="row" id="t_stats"></div>
   </details>
   <div class="row"><button id="export">export pointcloud</button> <span id="exp_out"></span></div>
   <div id="status"></div>
@@ -92,10 +107,14 @@ function drawLidar() {
     ctx.fillRect(u, v, 2, 2);
   }
 }
+const clientId = Math.random().toString(36).slice(2);
+let seq = 0;
 async function render(hi) {
   const res = await fetch('/render', {method:'POST', body: JSON.stringify(
-    {pose: pose(), quality: hi?'high':'low', t01, edits: edits()})});
+    {pose: pose(), quality: hi?'high':'low', t01, edits: edits(),
+     client: clientId, seq: ++seq})});
   const data = await res.json();
+  if (data.stale) return;  // a newer request from this client superseded it
   const img = new Image();
   img.onload = () => { canvas.width = window.innerWidth; canvas.height = window.innerHeight;
     ctx.imageSmoothingEnabled = false;
@@ -137,6 +156,21 @@ document.getElementById('export').onclick = async () => {
   const r = await fetch('/export', {method:'POST', body: '{}'});
   document.getElementById('exp_out').textContent = (await r.json()).path || 'n/a';
 };
+let paused = false;
+async function postTrain(body) {
+  const r = await fetch('/train', {method:'POST', body: JSON.stringify(body)});
+  const s = await r.json();
+  paused = s.paused;
+  document.getElementById('pause').textContent = paused ? 'resume' : 'pause';
+  document.getElementById('t_stats').textContent =
+    `step ${s.step}  loss ${s.loss==null?'-':s.loss.toFixed(4)}  ${s.steps_per_sec.toFixed(2)} it/s`;
+}
+document.getElementById('pause').onclick = () => postTrain({paused: !paused});
+document.getElementById('t_util').oninput = e => {
+  document.getElementById('v_util').textContent = (+e.target.value).toFixed(2);
+  postTrain({train_util: +e.target.value});
+};
+setInterval(() => postTrain({}), 2000);
 queueRender();
 </script></body></html>"""
 
@@ -164,6 +198,67 @@ class ViewerServer:
         self.port = port
         self.train_lock = train_lock or threading.Lock()
         self._server: Optional[ThreadingHTTPServer] = None
+        # train-rate control (reference Viewer's pause + train-util slider):
+        # the train loop polls train_gate() every step
+        self._tstate_lock = threading.Lock()
+        self._paused = False
+        self._train_util = 0.9
+        self._resume_evt = threading.Event()
+        self._resume_evt.set()
+        self._stats = {"step": 0, "loss": None, "steps_per_sec": 0.0}
+        self._last_gate = None
+        # per-client render state: latest seq per client id (stale-drop)
+        self._client_seq: dict = {}
+
+    # ---------------- train-rate control ----------------
+
+    def train_gate(self) -> None:
+        """Called by the train loop once per step: blocks while paused, and
+        throttles to `train_util` (sleeps (1-u)/u x the measured step time so
+        render requests get the remaining slice of the train lock)."""
+        import time as _time
+
+        self._resume_evt.wait()
+        now = _time.perf_counter()
+        with self._tstate_lock:
+            util, last = self._train_util, self._last_gate
+            self._last_gate = now
+        if last is not None and util < 1.0:
+            busy = now - last
+            _time.sleep(min(busy * (1.0 - util) / max(util, 1e-3), 1.0))
+
+    def update_train_stats(self, step: int, loss=None, steps_per_sec=None) -> None:
+        with self._tstate_lock:
+            self._stats["step"] = int(step)
+            if loss is not None:
+                self._stats["loss"] = float(loss)
+            if steps_per_sec is not None:
+                self._stats["steps_per_sec"] = float(steps_per_sec)
+
+    def _train_ctl(self, req: dict) -> dict:
+        with self._tstate_lock:
+            if "paused" in req:
+                self._paused = bool(req["paused"])
+                (self._resume_evt.clear if self._paused else self._resume_evt.set)()
+            if "train_util" in req:
+                self._train_util = float(min(max(req["train_util"], 0.05), 1.0))
+            return {
+                "paused": self._paused,
+                "train_util": self._train_util,
+                **self._stats,
+            }
+
+    def _register_seq(self, client, seq) -> None:
+        if client is None:
+            return
+        with self._tstate_lock:
+            self._client_seq[client] = max(seq, self._client_seq.get(client, 0))
+
+    def _is_stale(self, client, seq) -> bool:
+        if client is None:
+            return False
+        with self._tstate_lock:
+            return seq < self._client_seq.get(client, 0)
 
     def _handler(self):
         outer = self
@@ -188,6 +283,8 @@ class ViewerServer:
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/train":
+                    return self._reply(outer._train_ctl(req))
                 if self.path == "/lidar":
                     if outer.lidar_fn is None:
                         return self._reply({"pts": []})
@@ -212,8 +309,14 @@ class ViewerServer:
 
                 hi = req.get("quality") == "high"
                 w, h = (384, 256) if hi else (96, 64)
+                client, seq = req.get("client"), int(req.get("seq", 0))
+                outer._register_seq(client, seq)
                 pose = np.asarray(req["pose"], dtype=np.float32)
                 with outer.train_lock:
+                    # re-check inside the lock: drop renders a newer request
+                    # from the SAME client superseded while we queued
+                    if outer._is_stale(client, seq):
+                        return self._reply({"stale": True})
                     rgb = outer.render_fn(pose, w, h, float(req.get("t01", 0.0)), req.get("edits"))
                 png = _to_png(np.asarray(rgb))
                 self._reply({"png": base64.b64encode(png).decode(), "status": f"{w}x{h}"})

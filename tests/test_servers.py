@@ -99,3 +99,63 @@ def test_closed_loop_endpoints():
         assert hasattr(state, "updated")
     finally:
         server.shutdown()
+
+
+def test_viewer_train_control_and_per_client_state():
+    """Train-rate control (/train pause + util) and per-client stale-drop
+    (reference: Viewer controls `viewer.py:58` + per-client
+    RenderStateMachine `render_state_machine.py:57`)."""
+    import time
+
+    def render_fn(pose, w, h, t01, edits=None):
+        return np.full((h, w, 3), 0.5, dtype=np.float32)
+
+    server = ViewerServer(render_fn, port=17709)
+    server.start(background=True)
+    try:
+        # stats round trip + pause
+        s = _post("http://127.0.0.1:17709/train", {})
+        assert s["paused"] is False and s["train_util"] == 0.9
+        server.update_train_stats(120, loss=0.42, steps_per_sec=1.5)
+        s = _post("http://127.0.0.1:17709/train", {"paused": True, "train_util": 0.5})
+        assert s["paused"] and s["train_util"] == 0.5
+        assert s["step"] == 120 and abs(s["loss"] - 0.42) < 1e-9
+
+        # train_gate blocks while paused, resumes on unpause
+        done = []
+
+        def loop():
+            server.train_gate()
+            done.append(True)
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        time.sleep(0.15)
+        assert not done, "train_gate must block while paused"
+        _post("http://127.0.0.1:17709/train", {"paused": False})
+        t.join(timeout=5)
+        assert done
+
+        # util throttle: consecutive gates sleep ~ (1-u)/u x busy time
+        _post("http://127.0.0.1:17709/train", {"train_util": 0.5})
+        server.train_gate()
+        time.sleep(0.1)  # "busy" training for 100 ms
+        t0 = time.perf_counter()
+        server.train_gate()  # should sleep ~100 ms at util 0.5
+        slept = time.perf_counter() - t0
+        assert 0.04 < slept < 0.6, f"expected ~0.1s throttle sleep, got {slept:.3f}"
+
+        # per-client stale-drop: older seq returns stale once newer seq seen
+        pose = np.eye(4)[:3].tolist()
+        out_new = _post("http://127.0.0.1:17709/render",
+                        {"pose": pose, "client": "c1", "seq": 5})
+        assert "png" in out_new
+        out_old = _post("http://127.0.0.1:17709/render",
+                        {"pose": pose, "client": "c1", "seq": 3})
+        assert out_old.get("stale") is True
+        # a DIFFERENT client's low seq is not stale
+        out_c2 = _post("http://127.0.0.1:17709/render",
+                       {"pose": pose, "client": "c2", "seq": 1})
+        assert "png" in out_c2
+    finally:
+        server.stop()
