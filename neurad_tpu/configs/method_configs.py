@@ -77,6 +77,41 @@ def _neurad() -> MethodConfig:
     )
 
 
+def _neurad_parity() -> MethodConfig:
+    """`neurad-parity`: reference-faithful end-to-end — hashgrid proposal
+    fields (`density_fields.py:35`), face-shared corner entries
+    (cell_packed=False), the reference's hashed-every-level table layout
+    (parity=True), fp32 table reads and fp32 field MLPs. ~3x slower on TPU
+    than the `neurad` TPU-first defaults; use when matching the reference's
+    numerics matters more than throughput (see PERFORMANCE.md quality A/B:
+    the TPU defaults measure within noise of this config on PSNR/SSIM)."""
+    from neurad_tpu.fields.neurad_encoding import ActorSettings, StaticSettings
+
+    cfg = _neurad()
+    cfg.method_name = "neurad-parity"
+    cfg.description = "NeuRAD with reference-exact architecture + numerics (slower on TPU)"
+    cfg.pipeline.model_overrides = dict(
+        cfg.pipeline.model_overrides,
+        proposal_mode="hashgrid",
+        compute_fp32=True,
+        field_static=StaticSettings(cell_packed=False, parity=True),
+        field_actor=ActorSettings(flip_prob=0.25, cell_packed=False, parity=True),
+        proposal_static=(
+            StaticSettings(
+                log2_hashmap_size=20, num_levels=6, max_res=4096, base_res=128,
+                hashgrid_dim=1, cell_packed=False, parity=True,
+            ),
+        ) * 2,
+        proposal_actor=ActorSettings(
+            log2_hashmap_size=15, num_levels=4, base_res=64, max_res=1024,
+            hashgrid_dim=1, cell_packed=False, parity=True,
+        ),
+    )
+    # the unpacked 8-corner gathers need rematerialization at the full batch
+    cfg.pipeline.train_ray_chunk = 8192
+    return cfg
+
+
 def _neurad_tiny() -> MethodConfig:
     """Small config for CPU smoke runs and CI."""
     from neurad_tpu.fields.neurad_encoding import ActorSettings, StaticSettings
@@ -237,6 +272,7 @@ _REGISTRY: Dict[str, Callable[[], MethodConfig]] = {
     "nerfacto-lidar": lambda: _nerfacto(lidar=True, name="nerfacto-lidar"),
     "neurad-tiny": _neurad_tiny,
     "neurad-paper": lambda: _scaled(_neurad(), 4.0, "neurad-paper"),
+    "neurad-parity": _neurad_parity,
     "neurader": lambda: _scaled(_neurad(), 2.0, "neurader"),
     "neuradest": lambda: _scaled(_neurad(), 0.25, "neuradest"),
     "splatad": _splatad,
