@@ -51,6 +51,10 @@ def build_overrides(arm: str) -> dict:
         # proposal trails the hashgrid proposal on PSNR, this tells whether
         # the gap is capacity (fixable ~free on MXU) or inductive bias
         return dict(proposal_mlp=MLPProposalSettings(num_freqs=12, hidden_dim=256, num_layers=3))
+    if arm == "mlp-big2":
+        return dict(proposal_mlp=MLPProposalSettings(num_freqs=14, hidden_dim=320, num_layers=4))
+    if arm == "mlp-wide":
+        return dict(proposal_mlp=MLPProposalSettings(num_freqs=12, hidden_dim=512, num_layers=2))
     if arm == "unpacked":
         return dict(
             field_static=StaticSettings(cell_packed=False),
