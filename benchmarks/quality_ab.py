@@ -85,6 +85,30 @@ def build_overrides(arm: str) -> dict:
     raise ValueError(f"unknown arm {arm!r}")
 
 
+def scaled_groups(steps: int) -> dict:
+    """Optimizer groups with schedules compressed to the arm length.
+
+    The production schedules target 20001 steps (warmups 500/2500, exp decay
+    to max_steps) — running a 1200-step arm under them leaves the decay ~6%
+    complete and spends half the run in warmup, which structurally biases the
+    comparison against table-based arms (hashgrid cells see sparse gradients
+    and need the post-warmup high-lr phase). Same trick as the reference's
+    `_scaled_neurad_training` (`method_configs.py:451-459`), extended to
+    warmups so every arm completes its full lr trajectory.
+    """
+    import dataclasses
+
+    from neurad_tpu.engine.optimizers import NEURAD_OPTIMIZER_GROUPS
+
+    ratio = steps / 20000.0
+    return {
+        name: dataclasses.replace(
+            g, max_steps=steps + 1, warmup_steps=max(1, int(g.warmup_steps * ratio))
+        )
+        for name, g in NEURAD_OPTIMIZER_GROUPS.items()
+    }
+
+
 def run_arm(arm: str, steps: int, seed: int) -> dict:
     import jax
 
@@ -98,6 +122,7 @@ def run_arm(arm: str, steps: int, seed: int) -> dict:
         datamanager=ADDataManagerConfig(num_cam_patches=16, patch_size=32, num_lidar_rays=4096),
         model_overrides=build_overrides(arm),
         train_ray_chunk=ARM_CHUNK.get(arm, 0),
+        optimizer_groups=scaled_groups(steps),
         seed=seed,
     )
     pipe = ADPipeline(outputs, config)
@@ -119,6 +144,7 @@ def run_arm(arm: str, steps: int, seed: int) -> dict:
     ev["arm"] = arm
     ev["steps"] = steps
     ev["seed"] = seed
+    ev["sched"] = "scaled"
     ev["train_s"] = round(train_s, 1)
     ev["ms_per_step"] = round(1000.0 * train_s / steps, 1)
     ev["final_loss"] = losses[-1]
@@ -137,10 +163,10 @@ def main():
     if os.path.exists(args.out):
         with open(args.out) as f:
             results = json.load(f)
-    done = {(r["arm"], r["steps"], r["seed"]) for r in results}
+    done = {(r["arm"], r["steps"], r["seed"], r.get("sched", "prod")) for r in results}
 
     for arm in args.arms.split(","):
-        if (arm, args.steps, args.seed) in done:
+        if (arm, args.steps, args.seed, "scaled") in done:
             print(f"[skip] {arm} already in {args.out}")
             continue
         print(f"=== arm {arm} ===", flush=True)

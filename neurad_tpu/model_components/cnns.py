@@ -33,10 +33,12 @@ class BasicBlock(nn.Module):
     dim: int
     kernel_size: int = 7
     norm: str = "group"  # 'group' | 'batch' | 'none'
+    # bf16 by default; parity tests pass fp32 to compare against the torch oracle
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        dt = jnp.bfloat16
+        dt = self.compute_dtype
         x = x.astype(dt)
         in_dim = x.shape[-1]
         res = x if in_dim == self.dim else nn.Conv(self.dim, (1, 1), dtype=dt)(x)

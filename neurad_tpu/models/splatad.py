@@ -43,16 +43,66 @@ class RGBDecoderCNN(nn.Module):
     kernel_size: int = 3
     num_hidden_blocks: int = 1
     skip_dim: int = 3
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, ray_dirs: jnp.ndarray) -> jnp.ndarray:
         albedo = features[..., : self.skip_dim]
         spec = jnp.concatenate([features[..., self.skip_dim :], ray_dirs], axis=-1)
-        h = BasicBlock(self.hidden_dim, self.kernel_size, norm="none")(spec[None])[0]
+        h = BasicBlock(self.hidden_dim, self.kernel_size, norm="none", compute_dtype=self.compute_dtype)(spec[None])[0]
         for _ in range(self.num_hidden_blocks):
-            h = BasicBlock(self.hidden_dim, self.kernel_size, norm="none")(h[None])[0]
+            h = BasicBlock(self.hidden_dim, self.kernel_size, norm="none", compute_dtype=self.compute_dtype)(h[None])[0]
         out = nn.Conv(6, (1, 1), kernel_init=nn.initializers.variance_scaling(1e-4, "fan_in", "truncated_normal"))(h)
         return albedo * (1.0 + out[..., :3]) + out[..., 3:]
+
+
+def actor_adjusted_means(
+    means: jnp.ndarray,  # [N, 3] (box frame for actor gaussians)
+    ids: jnp.ndarray,  # [N] int, id == n_actors marks static
+    n_actors: int,
+    b2w: jnp.ndarray,  # [A, 4, 4]
+    vels6: jnp.ndarray,  # [A, 6] (linear world, angular box frame)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World-frame means + velocities for all gaussians (`splatad.py:835-869`),
+    dense/masked instead of the reference's nonzero/index_select. The angular
+    contribution is rot(ang x r_box) = rot(ang) x rot(r_box) (rotations
+    distribute over cross products), matching `transform_points_pairwise` of
+    the box-frame cross product."""
+    ids_c = jnp.clip(ids, 0, n_actors - 1)
+    is_actor = ids < n_actors
+
+    rot = b2w[ids_c][:, :3, :3]  # [N, 3, 3]
+    trans = b2w[ids_c][:, :3, 3]
+    r_world = jnp.einsum("nij,nj->ni", rot, means)  # offset from box center, world frame
+    world_means = r_world + trans
+    lin = vels6[ids_c][:, :3]
+    ang = vels6[ids_c][:, 3:]
+    ang_world = jnp.einsum("nij,nj->ni", rot, ang)
+    vel = lin + jnp.cross(ang_world, r_world)
+
+    means_out = jnp.where(is_actor[:, None], world_means, means)
+    vels_out = jnp.where(is_actor[:, None], vel, jnp.zeros_like(vel))
+    return means_out, vels_out
+
+
+def viewmat_from_c2w_opengl(c2w: jnp.ndarray) -> jnp.ndarray:
+    """OpenGL camera-to-world [3|4, 4] -> OpenCV world-to-camera 4x4
+    (`splatfacto.py:131-142` get_viewmat)."""
+    flip = jnp.diag(jnp.array([1.0, -1.0, -1.0]))
+    r_cv = c2w[:3, :3] @ flip  # camera axes in world, OpenCV convention
+    r_wc = r_cv.T
+    t_wc = -r_wc @ c2w[:3, 3]
+    return jnp.eye(4).at[:3, :3].set(r_wc).at[:3, 3].set(t_wc)
+
+
+def ray_dirs_pinhole(K: jnp.ndarray, width: int, height: int, c2w: jnp.ndarray) -> jnp.ndarray:
+    """Unit view dirs per pixel [H, W, 3] (`splatad.py:100-115` get_ray_dirs_pinhole)."""
+    ys, xs = jnp.meshgrid(jnp.arange(height) + 0.5, jnp.arange(width) + 0.5, indexing="ij")
+    d = jnp.stack(
+        [(xs - K[0, 2]) / K[0, 0], -(ys - K[1, 2]) / K[1, 1], -jnp.ones_like(xs)], axis=-1
+    )
+    d = d @ c2w[:3, :3].T
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
 class GaussianInit(NamedTuple):
@@ -291,23 +341,8 @@ class SplatADModel(nn.Module):
         if self.n_actors == 0:
             return means, jnp.zeros_like(means)
         b2w, _ = self.actors.get_boxes2world(time.reshape(1), edits=edits)  # [1, A, 4, 4]
-        b2w = b2w[0]
         vels6 = self.actors.get_velocities(time.reshape(1))[0]  # [A, 6]
-        ids = jnp.clip(self.gauss_ids, 0, self.n_actors - 1)
-        is_actor = self.gauss_ids < self.n_actors
-
-        rot = b2w[ids][:, :3, :3]  # [N, 3, 3]
-        trans = b2w[ids][:, :3, 3]
-        world_means = jnp.einsum("nij,nj->ni", rot, means) + trans
-        r_world = jnp.einsum("nij,nj->ni", rot, means)  # offset from box center, world frame
-        lin = vels6[ids][:, :3]
-        ang = vels6[ids][:, 3:]
-        ang_world = jnp.einsum("nij,nj->ni", rot, ang)
-        vel = lin + jnp.cross(ang_world, r_world)
-
-        means_out = jnp.where(is_actor[:, None], world_means, means)
-        vels_out = jnp.where(is_actor[:, None], vel, jnp.zeros_like(vel))
-        return means_out, vels_out
+        return actor_adjusted_means(means, self.gauss_ids, self.n_actors, b2w[0], vels6)
 
     def get_camera_outputs(
         self,
@@ -346,11 +381,7 @@ class SplatADModel(nn.Module):
         cam_time = time + time_to_center_pixel
 
         # OpenGL c2w -> OpenCV world->camera viewmat (gsplat get_viewmat)
-        flip = jnp.diag(jnp.array([1.0, -1.0, -1.0]))
-        r_cv = c2w[:3, :3] @ flip  # camera axes in world, OpenCV convention
-        r_wc = r_cv.T
-        t_wc = -r_wc @ c2w[:3, 3]
-        viewmat = jnp.eye(4).at[:3, :3].set(r_wc).at[:3, 3].set(t_wc)
+        viewmat = viewmat_from_c2w_opengl(c2w)
 
         # camera-frame velocities with y/z flip (`splatad.py:958-962`)
         lin_vel_cam = (c2w[:3, :3].T @ lin_vel) * jnp.array([1.0, -1.0, -1.0])
@@ -453,6 +484,8 @@ class SplatADModel(nn.Module):
         dirs = jnp.stack(
             [jnp.cos(elev) * jnp.cos(azim), jnp.cos(elev) * jnp.sin(azim), jnp.sin(elev)], axis=-1
         )
+        # the reference feeds the decoder WORLD-frame ray dirs (`splatad.py:1183-1196`)
+        dirs = dirs @ l2w[:3, :3].T
         appearance = jnp.broadcast_to(
             self.appearance_embedding(sensor_idx.reshape(1))[0], (dirs.shape[0], self.config.appearance_dim)
         )
@@ -464,12 +497,7 @@ class SplatADModel(nn.Module):
 
     def _ray_dirs(self, K: jnp.ndarray, width: int, height: int, c2w: jnp.ndarray) -> jnp.ndarray:
         """Unit view dirs per pixel [H, W, 3] (`splatad.py` get_ray_dirs_pinhole)."""
-        ys, xs = jnp.meshgrid(jnp.arange(height) + 0.5, jnp.arange(width) + 0.5, indexing="ij")
-        d = jnp.stack(
-            [(xs - K[0, 2]) / K[0, 0], -(ys - K[1, 2]) / K[1, 1], -jnp.ones_like(xs)], axis=-1
-        )
-        d = d @ c2w[:3, :3].T
-        return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return ray_dirs_pinhole(K, width, height, c2w)
 
     # ------------------------------------------------------------------
     # losses (`splatad.py:1356-1432`)

@@ -490,10 +490,13 @@ def rasterize_lidar_points(
         feat = jnp.einsum("mk,mkc->mc", w, features[tg])
         depth = jnp.sum(w * g_depth, axis=-1, keepdims=True)
         acc = jnp.sum(w, axis=-1, keepdims=True)
-        # median depth: first gaussian where accumulated weight crosses half the total
+        # median depth, reference semantics (`splatad.py:1297-1299`): depth of
+        # the first gaussian whose cumulative weight crosses ABSOLUTE 0.5; rays
+        # that never reach alpha 0.5 fall back to normalized expected depth
         cum_w = jnp.cumsum(w, axis=-1)
-        med_idx = jnp.argmax(cum_w >= 0.5 * acc, axis=-1)
+        med_idx = jnp.argmax(cum_w >= 0.5, axis=-1)
         median_depth = jnp.take_along_axis(g_depth, med_idx[:, None], axis=-1)
+        median_depth = jnp.where(acc > 0.5, median_depth, depth / jnp.maximum(acc, 1e-10))
         if compute_alpha_sum_until_points:
             before = g_depth < (pts[:, None, 2] - depth_eps)
             alpha_until = jnp.sum(jnp.where(before, w, 0.0), axis=-1, keepdims=True)
@@ -560,9 +563,12 @@ def _lidar_composite_xla(
     feat = jnp.einsum("tpk,tkc->tpc", w, g_feat)  # MXU contraction
     depth = jnp.sum(w * g_depth, axis=-1, keepdims=True)
     acc = jnp.sum(w, axis=-1, keepdims=True)
+    # reference median semantics (`splatad.py:1297-1299`): absolute-0.5 crossing,
+    # normalized-expected-depth fill-in where total alpha never reaches 0.5
     cum_w = jnp.cumsum(w, axis=-1)
-    med_idx = jnp.argmax(cum_w >= 0.5 * acc, axis=-1)
+    med_idx = jnp.argmax(cum_w >= 0.5, axis=-1)
     median_depth = jnp.take_along_axis(g_depth, med_idx[..., None], axis=-1)
+    median_depth = jnp.where(acc > 0.5, median_depth, depth / jnp.maximum(acc, 1e-10))
     if compute_until:
         before = g_depth < (pts_c[..., None, 2] - depth_eps)
         alpha_until = jnp.sum(jnp.where(before, w, 0.0), axis=-1, keepdims=True)
