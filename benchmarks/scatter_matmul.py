@@ -247,6 +247,70 @@ def main():
             rows,
         )
 
+    # D: EXACT sorted-run dedup — sort (key, payload), cumsum, take per-run
+    # totals at run boundaries (consecutive differences of the compacted
+    # boundary cumsums), scatter only <= T unique rows. No caps, no overflow.
+    def dedup_scatter(idx_in, g_in, i, u_cap=None):
+        F = g_in.shape[-1]
+        n = idx_in.shape[0]
+        t_rows = T
+        u = u_cap or min(n, t_rows)
+        ops = lax.sort((idx_in ^ i, *[g_in[:, k] for k in range(F)]), num_keys=1, is_stable=False)
+        si = ops[0]
+        sg = jnp.stack(ops[1:], axis=-1).astype(jnp.float32)
+        csum = jnp.cumsum(sg, axis=0)
+        is_last = jnp.concatenate([si[:-1] != si[1:], jnp.ones((1,), bool)])
+        n_last = jnp.cumsum(is_last.astype(jnp.int32))
+        ks = jnp.arange(1, u + 1, dtype=jnp.int32)
+        pos = jnp.searchsorted(n_last, ks)  # binary search: 20 gather rounds
+        pos = jnp.clip(pos, 0, n - 1)
+        valid = ks <= n_last[-1]
+        key_u = jnp.where(valid, si[pos], t_rows)
+        csum_u = csum[pos]
+        prev = jnp.concatenate([jnp.zeros((1, F), csum.dtype), csum_u[:-1]], axis=0)
+        g_u = jnp.where(valid[:, None], csum_u - prev, 0.0)
+        return jnp.zeros((t_rows + 1, F), jnp.float32).at[key_u].add(g_u)[:t_rows]
+
+    # correctness
+    ref_d = jnp.zeros((T, F), jnp.float32).at[idx].add(g)
+    got_d = dedup_scatter(idx, g, 0)
+    print(f"correctness dedup_scatter (max abs err): {float(jnp.max(jnp.abs(ref_d - got_d))):.2e}", flush=True)
+
+    guard("D  sorted-run dedup scatter (exact)", lambda: timeit(chain(dedup_scatter), idx, g), rows)
+
+    def per_level_dedup(a, b, i):
+        return tuple(dedup_scatter(a[l], b[l], i) for l in range(L))
+    guard("D2 6x per-level dedup scatter", lambda: timeit(chain(per_level_dedup), idx6, g6), rows)
+
+    # D3: the coarse-dense-level case — keys heavily duplicated (few unique
+    # cells). 917k rows into a 33^3=36k-row level: dedup factor ~26x.
+    T_small = 36000
+    idx_s = jax.random.randint(key, (N // 6,), 0, T_small)
+    g_s = jax.random.normal(key, (N // 6, F), dtype=jnp.float32)
+    def base_small(a, b, i):
+        return jnp.zeros((T_small, F), jnp.float32).at[a ^ (i % 2)].add(b)
+    guard("A3 baseline scatter 917k rows -> 36k-row level", lambda: timeit(chain(base_small), idx_s, g_s), N // 6)
+    def dedup_small(a, b, i):
+        F_ = b.shape[-1]
+        n = a.shape[0]
+        ops = lax.sort((a ^ (i % 2), *[b[:, k] for k in range(F_)]), num_keys=1, is_stable=False)
+        si = ops[0]
+        sg = jnp.stack(ops[1:], axis=-1).astype(jnp.float32)
+        csum = jnp.cumsum(sg, axis=0)
+        is_last = jnp.concatenate([si[:-1] != si[1:], jnp.ones((1,), bool)])
+        n_last = jnp.cumsum(is_last.astype(jnp.int32))
+        ks = jnp.arange(1, T_small + 1, dtype=jnp.int32)
+        pos = jnp.clip(jnp.searchsorted(n_last, ks), 0, n - 1)
+        valid = ks <= n_last[-1]
+        key_u = jnp.where(valid, si[pos], T_small)
+        csum_u = csum[pos]
+        prev = jnp.concatenate([jnp.zeros((1, F_), csum.dtype), csum_u[:-1]], axis=0)
+        g_u = jnp.where(valid[:, None], csum_u - prev, 0.0)
+        return jnp.zeros((T_small + 1, F_), jnp.float32).at[key_u].add(g_u)[:T_small]
+    ref_s = jnp.zeros((T_small, F), jnp.float32).at[idx_s].add(g_s)
+    print(f"correctness dedup_small: {float(jnp.max(jnp.abs(ref_s - dedup_small(idx_s, g_s, 0)))):.2e}", flush=True)
+    guard("D3 dedup scatter 917k rows -> 36k-row level", lambda: timeit(chain(dedup_small), idx_s, g_s), N // 6)
+
     print("done", flush=True)
 
 
