@@ -1,7 +1,8 @@
 """Capture an XLA op-level profile of the NeuRAD train step on the real TPU and
 print the top ops by self time (via tensorboard_plugin_profile's xplane parser).
 
-Usage: python benchmarks/step_trace.py [trace_dir]
+Usage: python benchmarks/step_trace.py [trace_dir] [num_cam_patches] [num_lidar_rays]
+(defaults: 20 patches + 8192 lidar = 28,672 rays; the full bench batch is 40 + 16384 = 57,344)
 """
 
 import glob
@@ -27,6 +28,8 @@ def fetch(x):
 
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/step_trace"
+    n_patches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    n_lidar = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
     os.makedirs(trace_dir, exist_ok=True)
 
     from neurad_tpu.data.datamanager import ADDataManagerConfig
@@ -37,7 +40,7 @@ def main():
     parser = SyntheticDataParserConfig(num_frames=10, image_height=192, image_width=288).setup()
     outputs = parser.get_dataparser_outputs()
     pipe = ADPipeline(outputs, ADPipelineConfig(
-        datamanager=ADDataManagerConfig(num_cam_patches=20, patch_size=32, num_lidar_rays=8192),
+        datamanager=ADDataManagerConfig(num_cam_patches=n_patches, patch_size=32, num_lidar_rays=n_lidar),
         model_overrides=dict(sampling=SamplingSettings()),
         train_ray_chunk=0,
     ))

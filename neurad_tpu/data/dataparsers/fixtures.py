@@ -17,6 +17,7 @@ Layout written (matching `data/dataparsers/pandaset.py` expectations):
 from __future__ import annotations
 
 import json
+import zlib
 from pathlib import Path
 from typing import Sequence
 
@@ -69,7 +70,10 @@ def make_pandaset_fixture(
         )
         (cam_dir / "timestamps.json").write_text(json.dumps(times))
         for i in range(n_frames):
-            img = base * (0.6 + 0.4 * np.sin(0.3 * i + hash(cam) % 7))
+            # zlib.crc32, not hash(): PYTHONHASHSEED randomizes str hash per
+            # process, which would make fixture content irreproducible across
+            # runs (a benchmark reusing --keep vs regenerating differs)
+            img = base * (0.6 + 0.4 * np.sin(0.3 * i + zlib.crc32(cam.encode()) % 7))
             img = img + rng.uniform(0, 0.08, size=(height, width, 1))
             imageio.imwrite(cam_dir / f"{i:02d}.jpg", (np.clip(img, 0, 1) * 255).astype(np.uint8))
 

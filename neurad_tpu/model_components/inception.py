@@ -262,7 +262,11 @@ def inception_pool3(params: Dict, images: jnp.ndarray, resize: bool = True) -> j
     [-1, 1] input scaling is always applied (pytorch-fid `normalize_input`)."""
     x = images.astype(jnp.float32)
     if resize and (x.shape[1] != 299 or x.shape[2] != 299):
-        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), method="bilinear")
+        # antialias=False: torch F.interpolate(mode='bilinear') never
+        # antialiases, and pytorch-fid/torchmetrics resize with exactly that —
+        # with the default antialias=True a 600x800->299 downscale diverges by
+        # up to ~0.56 per pixel from the torch protocol.
+        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), method="bilinear", antialias=False)
     x = x * 2.0 - 1.0
     x = _conv(params, "Conv2d_1a_3x3", x, stride=(2, 2))
     x = _conv(params, "Conv2d_2a_3x3", x)

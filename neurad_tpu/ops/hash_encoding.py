@@ -327,6 +327,98 @@ def _gather_levels_multi_bwd(read_bf16, shapes, idx, g):
 _gather_levels_multi.defvjp(_gather_levels_multi_fwd, _gather_levels_multi_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _interp_gather_cp(read_bf16, shapes, pks, n_corners, f, tables, idx, subs, w):
+    """Fused gather + bucket-select + corner-interpolation for CELL-PACKED
+    levels, with a hand-written backward (the TPU hot path).
+
+    Autodiff through the select+interp built the [n, pk*C*f] scatter updates in
+    a transposed [C*f, n] layout that XLA lowered as a 64-iteration while loop
+    of dynamic-update-slices plus a relayout copy — ~200 ms/step of pure data
+    movement at the 57k-ray bench config (round-4 trace). It also scattered the
+    FULL packed row width even though the non-selected bucket's update is
+    identically zero. This VJP instead:
+
+    - builds updates sample-major as the outer product w[n,C] (x) g[n,f]
+      (shape [n, C*f], half the packed width), and
+    - scatter-adds them into the UNPACKED [rows*pk, C*f] view of the table at
+      the logical bucket index (a free row-major bitcast of the [rows, pk*C*f]
+      physical layout) — scatter cost grows with row width (PERFORMANCE.md
+      width rules), so halving the row is ~2x on the dominant op of the step.
+
+    Args:
+        shapes: per-level PHYSICAL table shapes (rows, pk*C*f).
+        pks: per-level buckets-per-physical-row.
+        tables: tuple of [rows_l, width_l] tables.
+        idx: tuple of [...] physical row indices.
+        subs: tuple of [...] sub-bucket indices (zeros where pk == 1).
+        w: tuple of [..., C] fp32 corner interpolation weights.
+    Returns:
+        tuple of [..., f] per-level features in the table-read dtype.
+    """
+    outs, _ = _interp_gather_cp_impl(read_bf16, shapes, pks, n_corners, f, tables, idx, subs, w)
+    return outs
+
+
+def _interp_gather_cp_impl(read_bf16, shapes, pks, n_corners, f, tables, idx, subs, w):
+    f_row = n_corners * f
+    outs, feats_sel = [], []
+    for l, (tbl, idx_l, sub_l, w_l) in enumerate(zip(tables, idx, subs, w)):
+        src = tbl.astype(jnp.bfloat16) if read_bf16 else tbl
+        rows = jnp.take(src, idx_l, axis=0)  # [..., pk*f_row]
+        pk = pks[l]
+        if pk > 1:
+            rows = rows.reshape(rows.shape[:-1] + (pk, f_row))
+            sel = jax.nn.one_hot(sub_l, pk, dtype=rows.dtype)
+            rows = jnp.sum(rows * sel[..., None], axis=-2)  # [..., f_row]
+        feats = rows.reshape(rows.shape[:-1] + (n_corners, f))  # [..., C, f]
+        outs.append(jnp.sum(feats * w_l[..., None].astype(feats.dtype), axis=-2))
+        feats_sel.append(rows)
+    return tuple(outs), tuple(feats_sel)
+
+
+def _interp_gather_cp_fwd(read_bf16, shapes, pks, n_corners, f, tables, idx, subs, w):
+    outs, feats_sel = _interp_gather_cp_impl(read_bf16, shapes, pks, n_corners, f, tables, idx, subs, w)
+    # feats_sel is the fwd's own intermediate — saving it costs no extra
+    # compute and spares the backward a second row-latency-bound gather
+    return outs, (idx, subs, w, feats_sel)
+
+
+def _interp_gather_cp_bwd(read_bf16, shapes, pks, n_corners, f, res, g):
+    idx, subs, w, feats_sel = res
+    f_row = n_corners * f
+    dtables, dws = [], []
+    for l, g_l in enumerate(g):
+        rows_phys, width = shapes[l]
+        pk = pks[l]
+        feats = feats_sel[l].reshape(feats_sel[l].shape[:-1] + (n_corners, f))
+        gl = g_l.astype(feats.dtype)
+        # d/dw: contraction of the saved features with the output cotangent,
+        # accumulated in fp32 (feeds position/trajectory gradients; the mul
+        # fuses into the reduction so no fp32 [n, C, f] tensor materializes)
+        dws.append(
+            jnp.sum(feats.astype(jnp.float32) * g_l.astype(jnp.float32)[..., None, :], axis=-1)
+            .astype(w[l].dtype)
+        )
+        # d/dtable: outer product, kept sample-major end to end
+        upd = (w[l][..., None].astype(feats.dtype) * gl[..., None, :]).reshape(
+            feats.shape[:-2] + (f_row,)
+        )
+        n = int(np.prod(upd.shape[:-1]))
+        upd2 = upd.reshape(n, f_row)
+        bucket = idx[l] * pk + subs[l] if pk > 1 else idx[l]
+        accum_dtype = (
+            jnp.float32 if rows_phys * width * 4 <= _FP32_ACCUM_MAX_BYTES else jnp.bfloat16
+        )
+        acc = jnp.zeros((rows_phys * pk, f_row), accum_dtype)
+        acc = acc.at[bucket.reshape(n)].add(upd2.astype(accum_dtype))
+        dtables.append(acc.reshape(rows_phys, width).astype(jnp.float32))
+    return tuple(dtables), None, None, tuple(dws)
+
+
+_interp_gather_cp.defvjp(_interp_gather_cp_fwd, _interp_gather_cp_bwd)
+
+
 def hash_encode(
     positions: jnp.ndarray,
     table,
@@ -406,6 +498,33 @@ def hash_encode(
         else:
             subs.append(None)
             idx_list.append(bucket)
+
+    if multi and cell_packed:
+        # TPU fast path: fused gather+select+interp with a hand-written
+        # backward (sample-major updates, unpacked-width scatter) — see
+        # `_interp_gather_cp`.
+        ws = []
+        for l in range(num_levels):
+            offset = offsets[l]
+            ws.append(
+                jnp.prod(
+                    jnp.where(corners.astype(bool), offset[..., None, :], 1.0 - offset[..., None, :]),
+                    axis=-1,
+                )
+            )
+        subs_t = tuple(s if s is not None else jnp.zeros((), jnp.int32) for s in subs)
+        shapes = tuple(t.shape for t in table)
+        outs_cp = _interp_gather_cp(
+            read_bf16, shapes, tuple(bucket_pack), n_corners, f,
+            tuple(table), tuple(idx_list), subs_t, tuple(ws),
+        )
+        outs = []
+        for l in range(num_levels):
+            o = outs_cp[l].astype(jnp.float32)
+            if level_weights is not None:
+                o = o * level_weights[..., l][..., None]
+            outs.append(o)
+        return jnp.concatenate(outs, axis=-1)
 
     if multi:
         shapes = tuple(t.shape for t in table)

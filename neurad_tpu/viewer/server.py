@@ -222,10 +222,14 @@ class ViewerServer:
         now = _time.perf_counter()
         with self._tstate_lock:
             util, last = self._train_util, self._last_gate
-            self._last_gate = now
         if last is not None and util < 1.0:
-            busy = now - last
+            busy = now - last  # actual train time only: _last_gate is post-sleep
             _time.sleep(min(busy * (1.0 - util) / max(util, 1e-3), 1.0))
+        # record AFTER the sleep so the throttle itself never counts as busy
+        # time (otherwise the feedback loop overshoots geometrically for
+        # util <= 0.5 until it hits the 1.0s cap)
+        with self._tstate_lock:
+            self._last_gate = _time.perf_counter()
 
     def update_train_stats(self, step: int, loss=None, steps_per_sec=None) -> None:
         with self._tstate_lock:
@@ -253,6 +257,10 @@ class ViewerServer:
             return
         with self._tstate_lock:
             self._client_seq[client] = max(seq, self._client_seq.get(client, 0))
+            # clientIds regenerate per page load; evict oldest-inserted entries
+            # so a long-running viewer process doesn't grow this without bound
+            while len(self._client_seq) > 64:
+                self._client_seq.pop(next(iter(self._client_seq)))
 
     def _is_stale(self, client, seq) -> bool:
         if client is None:

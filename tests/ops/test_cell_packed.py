@@ -59,3 +59,71 @@ def test_gaussian_encode_cell_packed():
     std = jnp.full((8, 2, 1), 0.01)
     out = he.hash_encode_gaussians(mean, std, table, scales, T, cell_packed=True)
     assert out.shape == (8, L * F)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("gather_dtype", [None, jnp.bfloat16])
+def test_fused_interp_gather_matches_autodiff(gather_dtype):
+    """The hand-written `_interp_gather_cp` VJP (sample-major updates +
+    unpacked-width scatter) must match plain autodiff through the same math:
+    values, table grads, position grads, and level-weight grads, for a level
+    mix that covers dense (pk=1), hashed (pk=1), and bucket-packed (pk>1).
+
+    fp32 mode compares everything tightly. In bf16 mode the pos/lw grads sum
+    many bf16-rounded terms with cancellation, so elementwise comparison vs
+    the equally-rounded autodiff reference is noise — there the check is
+    values + table grads tight, pos/lw grads by overall direction (cosine)."""
+    d, F = 3, 4
+    L = 5
+    scales = np.asarray(he.level_scales(L, 8, 600))
+    max_rows = 2**19  # forces pk=2 on the finest hashed levels
+    tables = he.init_hash_tables(
+        jax.random.PRNGKey(0), scales, d, max_rows, F, cell_packed=True, scale=0.5
+    )
+    _, dense_res, packs = he.level_layout(scales, d, max_rows, cell_packed=True)
+    assert max(packs) > 1 and any(r is not None for r in dense_res)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (257, d))
+    lw = jax.random.uniform(jax.random.PRNGKey(2), (257, L), minval=0.3, maxval=1.0)
+
+    def run(pos, tables, lw):
+        return he.hash_encode(
+            pos, tables, np.asarray(scales), level_weights=lw, gather_dtype=gather_dtype,
+            cell_packed=True, dense_res=dense_res, bucket_pack=packs,
+        )
+
+    def run_autodiff(pos, tables, lw):
+        import unittest.mock as mock
+
+        ref = lambda rb, sh, pk, C, f, *args: he._interp_gather_cp_impl(rb, sh, pk, C, f, *args)[0]
+        with mock.patch.object(he, "_interp_gather_cp", ref):
+            return run(pos, tables, lw)
+
+    out = run(pos, tables, lw)
+    want = run_autodiff(pos, tables, lw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        return lambda pos, tables, lw: jnp.sum(jnp.sin(3.0 * fn(pos, tables, lw)))
+
+    g = jax.grad(loss(run), argnums=(0, 1, 2))(pos, tables, lw)
+    gw = jax.grad(loss(run_autodiff), argnums=(0, 1, 2))(pos, tables, lw)
+    for gt, gtw, tbl in zip(g[1], gw[1], tables):
+        # levels whose fp32 accumulator would exceed 32 MB accumulate in bf16
+        # by design (tcnn accumulates in fp16); the autodiff reference always
+        # accumulates fp32 — compare those at bf16 resolution
+        bf16_accum = tbl.size * 4 > he._FP32_ACCUM_MAX_BYTES
+        # in bf16 read mode the autodiff reference ALSO accumulates in bf16
+        # (scatter dtype = gathered dtype), while the fused path accumulates
+        # fp32 on small levels — everything is bf16-ulp comparison there
+        rtol, atol = (1e-2, 1e-4) if (bf16_accum or gather_dtype is not None) else (2e-4, 2e-5)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gtw), rtol=rtol, atol=atol)
+    if gather_dtype is None:
+        np.testing.assert_allclose(np.asarray(g[0]), np.asarray(gw[0]), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(g[2]), np.asarray(gw[2]), rtol=2e-4, atol=2e-5)
+    else:
+        for a, b in ((g[0], gw[0]), (g[2], gw[2])):
+            a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+            assert cos > 0.9999, cos
