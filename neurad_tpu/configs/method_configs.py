@@ -94,6 +94,11 @@ def _neurad_parity() -> MethodConfig:
         cfg.pipeline.model_overrides,
         proposal_mode="hashgrid",
         compute_fp32=True,
+        # NOTE: decoder norm stays "group" — the reference's BatchNorm2d needs
+        # mutable running-stats state that the pure train step doesn't carry;
+        # rgb_decoder_norm="batch" exists for the torch-oracle parity tests
+        # (tests/test_full_model_parity.py), which handle the mutable
+        # batch_stats collection explicitly.
         field_static=StaticSettings(cell_packed=False, parity=True),
         field_actor=ActorSettings(flip_prob=0.25, cell_packed=False, parity=True),
         proposal_static=(

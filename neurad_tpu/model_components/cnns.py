@@ -85,14 +85,18 @@ class RGBDecoderCNN(nn.Module):
     hidden_dim: int = 32
     upsample_factor: int = 3
     norm: str = "group"
+    # None = fp32 end-to-end (parity mode); default bf16 matches the blocks
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = nn.relu(nn.Conv(self.hidden_dim, (1, 1))(x))
-        h = BasicBlock(self.hidden_dim, 7, self.norm)(h, train)
-        h = BasicBlock(self.hidden_dim, 7, self.norm)(h, train)
+        dt = self.compute_dtype or jnp.float32
+        block = lambda: BasicBlock(self.hidden_dim, 7, self.norm, compute_dtype=dt)
+        h = nn.relu(nn.Conv(self.hidden_dim, (1, 1), dtype=dt)(x.astype(dt)))
+        h = block()(h, train)
+        h = block()(h, train)
         up = self.upsample_factor
-        h = nn.ConvTranspose(self.hidden_dim, (up, up), strides=(up, up))(h)
-        h = BasicBlock(self.hidden_dim, 7, self.norm)(h, train)
-        h = BasicBlock(self.hidden_dim, 7, self.norm)(h, train)
-        return nn.sigmoid(nn.Conv(3, (1, 1))(h))
+        h = nn.ConvTranspose(self.hidden_dim, (up, up), strides=(up, up), dtype=dt)(h.astype(dt))
+        h = block()(h, train)
+        h = block()(h, train)
+        return nn.sigmoid(nn.Conv(3, (1, 1), dtype=dt)(h.astype(dt))).astype(jnp.float32)

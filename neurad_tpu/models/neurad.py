@@ -116,6 +116,9 @@ class NeuRADModel(nn.Module):
     temporal_appearance_freq: float = 1.0
     rgb_upsample_factor: int = 3
     rgb_hidden_dim: int = 32
+    # "group" (TPU default: stateless, mesh-friendly) or "batch" (the
+    # reference's BatchNorm2d, `models/neurad.py:204-214`; parity preset)
+    rgb_decoder_norm: str = "group"
     nff_out_dim: int = 32
     use_sdf: bool = True
     camera_opt_mode: str = "off"
@@ -180,8 +183,16 @@ class NeuRADModel(nn.Module):
         )
         num_embeds = self.num_sensors * (self._num_embeds_per_sensor if self.use_temporal_appearance else 1)
         self.appearance_embedding = nn.Embed(num_embeds, self.appearance_dim)
-        self.rgb_decoder = RGBDecoderCNN(hidden_dim=self.rgb_hidden_dim, upsample_factor=self.rgb_upsample_factor)
-        self.lidar_decoder = MLP(out_dim=2, num_layers=3, layer_width=32)
+        self.rgb_decoder = RGBDecoderCNN(
+            hidden_dim=self.rgb_hidden_dim,
+            upsample_factor=self.rgb_upsample_factor,
+            norm=self.rgb_decoder_norm,
+            compute_dtype=None if self.compute_fp32 else jnp.bfloat16,
+        )
+        self.lidar_decoder = MLP(
+            out_dim=2, num_layers=3, layer_width=32,
+            compute_dtype=None if self.compute_fp32 else jnp.bfloat16,
+        )
 
     # ------------------------------------------------------------------
     # forward

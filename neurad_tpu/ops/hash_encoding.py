@@ -361,6 +361,11 @@ def _interp_gather_cp(read_bf16, shapes, pks, n_corners, f, tables, idx, subs, w
 
 
 def _interp_gather_cp_impl(read_bf16, shapes, pks, n_corners, f, tables, idx, subs, w):
+    # Everything stays 2-D [n, k]: any [n, C, f] intermediate gets an n-MINOR
+    # layout from XLA ({1,0,2} tiling), and the reshape back to the scatter's
+    # n-major [n, C*f] then lowers as a C*f-iteration while loop of
+    # dynamic-update-slices (~19 ms/level at bench shapes, round-4 trace).
+    # Unrolled slice-wise ops over C (8/16) and pk (<=2) keep n major.
     f_row = n_corners * f
     outs, feats_sel = [], []
     for l, (tbl, idx_l, sub_l, w_l) in enumerate(zip(tables, idx, subs, w)):
@@ -368,11 +373,21 @@ def _interp_gather_cp_impl(read_bf16, shapes, pks, n_corners, f, tables, idx, su
         rows = jnp.take(src, idx_l, axis=0)  # [..., pk*f_row]
         pk = pks[l]
         if pk > 1:
-            rows = rows.reshape(rows.shape[:-1] + (pk, f_row))
-            sel = jax.nn.one_hot(sub_l, pk, dtype=rows.dtype)
-            rows = jnp.sum(rows * sel[..., None], axis=-2)  # [..., f_row]
-        feats = rows.reshape(rows.shape[:-1] + (n_corners, f))  # [..., C, f]
-        outs.append(jnp.sum(feats * w_l[..., None].astype(feats.dtype), axis=-2))
+            # bucket select without a [.., pk, f_row] reshape: mask-and-add
+            # the pk column slices (pk is 2 in practice)
+            acc = None
+            for p in range(pk):
+                m = (sub_l == p).astype(rows.dtype)[..., None]
+                part = rows[..., p * f_row : (p + 1) * f_row] * m
+                acc = part if acc is None else acc + part
+            rows = acc  # [..., f_row]
+        wl = w_l.astype(rows.dtype)
+        # out[.., j] = sum_c rows[.., c*f+j] * w[.., c]  (2-D slice contraction)
+        o = None
+        for c in range(n_corners):
+            term = rows[..., c * f : (c + 1) * f] * wl[..., c : c + 1]
+            o = term if o is None else o + term
+        outs.append(o)
         feats_sel.append(rows)
     return tuple(outs), tuple(feats_sel)
 
@@ -391,19 +406,22 @@ def _interp_gather_cp_bwd(read_bf16, shapes, pks, n_corners, f, res, g):
     for l, g_l in enumerate(g):
         rows_phys, width = shapes[l]
         pk = pks[l]
-        feats = feats_sel[l].reshape(feats_sel[l].shape[:-1] + (n_corners, f))
+        feats = feats_sel[l]  # [..., C*f], sample-major
         gl = g_l.astype(feats.dtype)
-        # d/dw: contraction of the saved features with the output cotangent,
-        # accumulated in fp32 (feeds position/trajectory gradients; the mul
-        # fuses into the reduction so no fp32 [n, C, f] tensor materializes)
-        dws.append(
-            jnp.sum(feats.astype(jnp.float32) * g_l.astype(jnp.float32)[..., None, :], axis=-1)
-            .astype(w[l].dtype)
-        )
-        # d/dtable: outer product, kept sample-major end to end
-        upd = (w[l][..., None].astype(feats.dtype) * gl[..., None, :]).reshape(
-            feats.shape[:-2] + (f_row,)
-        )
+        gf = g_l.astype(jnp.float32)
+        # d/dw[.., c] = sum_j feats[.., c*f+j] * g[.., j] — fp32 accumulation
+        # (feeds position/trajectory gradients); 2-D slices only (see impl).
+        dw_cols = [
+            jnp.sum(feats[..., c * f : (c + 1) * f].astype(jnp.float32) * gf, axis=-1, keepdims=True)
+            for c in range(n_corners)
+        ]
+        dws.append(jnp.concatenate(dw_cols, axis=-1).astype(w[l].dtype))
+        # d/dtable rows: upd[.., c*f+j] = w[.., c] * g[.., j], built from 2-D
+        # column slices so the result is n-major for the scatter directly
+        wl = w[l].astype(feats.dtype)
+        upd = jnp.concatenate(
+            [wl[..., c : c + 1] * gl for c in range(n_corners)], axis=-1
+        )  # [..., C*f]
         n = int(np.prod(upd.shape[:-1]))
         upd2 = upd.reshape(n, f_row)
         bucket = idx[l] * pk + subs[l] if pk > 1 else idx[l]

@@ -169,3 +169,39 @@ def test_compaction_overflow_falls_back_to_static():
     others = f[~is_actor]
     np.testing.assert_allclose(others, f_off[~is_actor], atol=0)
     assert (np.abs(others).sum(-1) > 0).all(), "overflowed samples were zeroed"
+
+
+def test_compact_merge_matches_scatter_set_form():
+    """`_compact_merge` (inverse-gather + custom VJP) must equal the plain
+    scatter-set + covered + where formulation — values AND gradients — incl.
+    the overflow case where flat_hit has more hits than capacity."""
+    import jax
+    import jax.numpy as jnp
+
+    from neurad_tpu.fields.neurad_encoding import _compact_merge
+
+    rng = np.random.default_rng(5)
+    n, cap, f_a, f_out = 96, 16, 4, 8
+    static = jnp.asarray(rng.normal(size=(n, f_out)).astype(np.float32))
+    sel = jnp.asarray(rng.normal(size=(cap, f_a)).astype(np.float32))
+    flat_hit = jnp.asarray(rng.uniform(size=n) < 0.4)  # ~38 hits > cap=16: overflow
+    top_idx = jnp.asarray(
+        np.argsort(-flat_hit.astype(np.float32) - rng.uniform(size=n) * 0.01)[:cap].astype(np.int32)
+    )
+
+    def ref(static, sel):
+        actor = jnp.zeros((n, f_a)).at[top_idx].set(sel)
+        actor = jnp.pad(actor, ((0, 0), (0, f_out - f_a)))
+        covered = jnp.zeros((n,), bool).at[top_idx].set(flat_hit[top_idx])
+        m = (flat_hit & covered)[:, None]
+        return jnp.where(m, actor, static)
+
+    out = _compact_merge(static, sel, top_idx, flat_hit)
+    want = ref(static, sel)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6, atol=1e-7)
+
+    proj = jnp.asarray(rng.normal(size=(n, f_out)).astype(np.float32))
+    g = jax.grad(lambda a, b: jnp.sum(_compact_merge(a, b, top_idx, flat_hit) * proj), (0, 1))(static, sel)
+    gw = jax.grad(lambda a, b: jnp.sum(ref(a, b) * proj), (0, 1))(static, sel)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(gw[0]), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g[1]), np.asarray(gw[1]), rtol=1e-6, atol=1e-7)
