@@ -30,7 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ARMS = ["default", "prop-hashgrid", "mlp-big", "unpacked", "fp32", "faithful"]
+ARMS = ["default", "prop-hashgrid", "mlp-big", "unpacked", "fp32", "faithful", "prop-hashgrid-shared"]
 
 # cell_packed=False (8 gathers/sample-level) overflows one v5e without
 # rematerialization at the full batch: those arms get lax.map ray chunking
@@ -46,6 +46,10 @@ def build_overrides(arm: str) -> dict:
         return {}
     if arm == "prop-hashgrid":
         return dict(proposal_mode="hashgrid")
+    if arm == "prop-hashgrid-shared":
+        # the reference's EFFECTIVE proposal architecture (late-binding bug,
+        # PARITY.md): one hashgrid proposal field queried by both rounds
+        return dict(proposal_mode="hashgrid-shared")
     if arm == "mlp-big":
         # capacity sweep for the matmul-native proposal: if the default MLP
         # proposal trails the hashgrid proposal on PSNR, this tells whether

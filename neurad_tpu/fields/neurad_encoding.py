@@ -63,6 +63,13 @@ def _compact_merge_inv(top_idx, flat_hit, n, cap):
 def _compact_merge_fwd(features_flat, sel_feats, top_idx, flat_hit):
     n, f_out = features_flat.shape
     cap, f_a = sel_feats.shape
+    # same invariant as the reference's F.pad + index-write merge
+    # (`neurad_encoding.py:184-185`): actor features are zero-padded UP to the
+    # static width, never truncated
+    assert f_a <= f_out, (
+        f"actor feature width {f_a} exceeds static width {f_out}: "
+        "configure the actor grid with num_levels*hashgrid_dim <= the static grid's"
+    )
     inv = _compact_merge_inv(top_idx, flat_hit, n, cap)
     table = jnp.concatenate([sel_feats, jnp.zeros((1, f_a), sel_feats.dtype)], axis=0)
     actor_rows = jnp.take(table, inv, axis=0)  # [n, f_a]

@@ -162,6 +162,23 @@ class NeuRADModel(nn.Module):
                 MLPProposalField(static_scale=self.static_scale, name=f"proposal_field_{i}", **self.proposal_mlp._asdict())
                 for i in range(len(self.proposal_static))
             ]
+        elif self.proposal_mode == "hashgrid-shared":
+            # ONE hashgrid proposal field queried by every round — the
+            # reference's EFFECTIVE architecture: its density_fns are built
+            # with late-binding lambdas (`models/neurad.py:248`), so both
+            # rounds query the last proposal field and the first never trains
+            # (documented in PARITY.md). Offered as an explicit mode (and
+            # quality-A/B arm) rather than replicated silently.
+            shared = NeuRADProposalField(
+                actors=self.actors,
+                static_scale=self.static_scale,
+                static=self.proposal_static[0],
+                actor=self.proposal_actor,
+                max_actors_per_ray=self.max_actors_per_ray,
+                actor_compaction=self.actor_compaction,
+                name="proposal_field_0",
+            )
+            self.proposal_fields = [shared for _ in range(len(self.proposal_static))]
         else:
             self.proposal_fields = [
                 NeuRADProposalField(
