@@ -122,12 +122,22 @@ class NeuRADField(nn.Module):
             edits=edits,
         )
 
-        geo = self.mlp_geo(features)  # [R, S, 1 + nff_out_dim]
+        # flatten [R, S, .] -> [R*S, .] through the MLP stack: batched 3-D
+        # dot_generals produce transposed ([S, R, C]) cotangents whose
+        # relayout back to sample-major lowered as a 32-step while-loop of
+        # dynamic-update-slices feeding the hashgrid backward (~15 ms/step at
+        # the 57k-ray bench config, round-4 trace); clean 2-D matmuls keep
+        # every cotangent n-major (same fix as MLPProposalField.get_density)
+        batch_shape = features.shape[:-1]
+        feats2 = features.reshape(-1, features.shape[-1])
+        geo = self.mlp_geo(feats2)  # [N, 1 + nff_out_dim]
         geo_out, geo_embedding = geo[..., :1], geo[..., 1:]
         dir_embedding = components_from_spherical_harmonics(
             self.sh_levels, get_normalized_directions(directions)
-        )
+        ).reshape(geo.shape[0], -1)
         feature = geo_embedding + self.mlp_feature(jnp.concatenate([geo_embedding, dir_embedding], axis=-1))
+        feature = feature.reshape(batch_shape + (feature.shape[-1],))
+        geo_out = geo_out.reshape(batch_shape + (1,))
 
         if self.use_sdf:
             return FieldOutputs(features=feature, sdf=geo_out, alphas=self.sdf_to_alpha(geo_out))
@@ -238,7 +248,10 @@ class NeuRADProposalField(nn.Module):
             None,
             edits=edits,
         )
-        return trunc_exp(self.density_decoder(feats))
+        # 2-D through the decoder (see NeuRADField.__call__: 3-D dot_generals
+        # hand the hashgrid backward a transposed cotangent)
+        out = trunc_exp(self.density_decoder(feats.reshape(-1, feats.shape[-1])))
+        return out.reshape(feats.shape[:-1] + (1,))
 
     def __call__(self, ray_samples: RaySamples, edits=None) -> jnp.ndarray:
         return self.get_density(ray_samples, edits=edits)
