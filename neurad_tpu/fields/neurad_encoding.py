@@ -26,6 +26,7 @@ from typing import NamedTuple, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from neurad_tpu.core.structs import GaussiansStd
 from neurad_tpu.fields.spatial_distortions import scaled_scene_contraction_gaussian
@@ -115,6 +116,10 @@ class StaticSettings(NamedTuple):
     # fp32 table reads WITHOUT the parity layout change (quality-A/B knob:
     # isolates the bf16-read numerics from the dense-sizing/packing layout)
     gather_f32: bool = False
+    # EXACT consecutive-run dedup of the backward table-gradient scatters on
+    # dense coarse levels (ops/hash_encoding._run_dedup_scatter) — pure perf
+    # knob, measured on TPU before enabling by default
+    run_dedup: bool = False
 
 
 class ActorSettings(NamedTuple):
@@ -216,10 +221,14 @@ class NeuRADHashEncoding(nn.Module):
         # ---- static world features (`neurad_encoding.py:167-171,265-268`) ----
         static_g = scaled_scene_contraction_gaussian(positions, self.static_scale)
         static_gather_dtype = None if (self.static.parity or self.static.gather_f32) else jnp.bfloat16
+        # run-dedup of the backward scatters along the sample axis (dense
+        # coarse levels only; exact — see ops/hash_encoding._run_dedup_scatter).
+        # positions are [R, S, M, D]: runs reset every S*M flat entries.
+        seg = int(np.prod(static_g.mean.shape[1:-1])) if self.static.run_dedup else 0
         features = he.hash_encode_gaussians(
             static_g.mean, static_g.std, self.static_table, self.static_scales,
             cell_packed=self.static.cell_packed, dense_res=self.static_dense_res, bucket_pack=self.static_pack,
-            gather_dtype=static_gather_dtype,
+            gather_dtype=static_gather_dtype, run_dedup_seg=seg,
         )  # [R, S, L*F]
 
         if self.disable_actors or self.actors.n_actors == 0:

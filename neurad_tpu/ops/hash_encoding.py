@@ -327,8 +327,36 @@ def _gather_levels_multi_bwd(read_bf16, shapes, idx, g):
 _gather_levels_multi.defvjp(_gather_levels_multi_fwd, _gather_levels_multi_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _interp_gather_cp(read_bf16, shapes, pks, n_corners, f, tables, idx, subs, w):
+def _run_dedup_scatter(bucket, upd, n_rows, seg: int):
+    """Scatter-add with consecutive-run dedup (no sort).
+
+    Samples along a ray visit coarse cells in order, so duplicate buckets are
+    CONSECUTIVE in the flat [R*S*M] layout (runs reset at ray boundaries every
+    `seg` entries, which also bounds run length so the 5-step masked scan is
+    exact). Run totals are accumulated by a segmented Hillis-Steele scan, and
+    only each run's LAST row is scattered — the rest point one past the end
+    and are dropped by the scatter's out-of-bounds semantics. Pays off iff
+    dropped rows are cheap (benchmarks/scatter_oob.py) and the level is
+    coarse enough for real duplication.
+    """
+    n = bucket.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    same = jnp.concatenate([jnp.zeros((1,), bool), (bucket[1:] == bucket[:-1]) & (pos[1:] % seg != 0)])
+    run_id = jnp.cumsum((~same).astype(jnp.int32))
+    s = upd
+    d = 1
+    while d < seg:
+        ok = jnp.concatenate([jnp.zeros((d,), bool), run_id[d:] == run_id[:-d]])
+        shifted = jnp.concatenate([jnp.zeros((d,) + s.shape[1:], s.dtype), s[:-d]])
+        s = s + jnp.where(ok[:, None], shifted, 0)
+        d *= 2
+    is_last = jnp.concatenate([~same[1:], jnp.ones((1,), bool)])
+    bucket_eff = jnp.where(is_last, bucket, n_rows)  # OOB rows are dropped
+    return jnp.zeros((n_rows, s.shape[-1]), s.dtype).at[bucket_eff].add(s)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _interp_gather_cp(read_bf16, shapes, pks, n_corners, f, dedup, tables, idx, subs, w):
     """Fused gather + bucket-select + corner-interpolation for CELL-PACKED
     levels, with a hand-written backward (the TPU hot path).
 
@@ -392,14 +420,14 @@ def _interp_gather_cp_impl(read_bf16, shapes, pks, n_corners, f, tables, idx, su
     return tuple(outs), tuple(feats_sel)
 
 
-def _interp_gather_cp_fwd(read_bf16, shapes, pks, n_corners, f, tables, idx, subs, w):
+def _interp_gather_cp_fwd(read_bf16, shapes, pks, n_corners, f, dedup, tables, idx, subs, w):
     outs, feats_sel = _interp_gather_cp_impl(read_bf16, shapes, pks, n_corners, f, tables, idx, subs, w)
     # feats_sel is the fwd's own intermediate — saving it costs no extra
     # compute and spares the backward a second row-latency-bound gather
     return outs, (idx, subs, w, feats_sel)
 
 
-def _interp_gather_cp_bwd(read_bf16, shapes, pks, n_corners, f, res, g):
+def _interp_gather_cp_bwd(read_bf16, shapes, pks, n_corners, f, dedup, res, g):
     idx, subs, w, feats_sel = res
     f_row = n_corners * f
     dtables, dws = [], []
@@ -428,8 +456,13 @@ def _interp_gather_cp_bwd(read_bf16, shapes, pks, n_corners, f, res, g):
         accum_dtype = (
             jnp.float32 if rows_phys * width * 4 <= _FP32_ACCUM_MAX_BYTES else jnp.bfloat16
         )
-        acc = jnp.zeros((rows_phys * pk, f_row), accum_dtype)
-        acc = acc.at[bucket.reshape(n)].add(upd2.astype(accum_dtype))
+        if dedup[l]:
+            acc = _run_dedup_scatter(
+                bucket.reshape(n), upd2.astype(accum_dtype), rows_phys * pk, dedup[l]
+            )
+        else:
+            acc = jnp.zeros((rows_phys * pk, f_row), accum_dtype)
+            acc = acc.at[bucket.reshape(n)].add(upd2.astype(accum_dtype))
         dtables.append(acc.reshape(rows_phys, width).astype(jnp.float32))
     return tuple(dtables), None, None, tuple(dws)
 
@@ -447,6 +480,7 @@ def hash_encode(
     cell_packed: bool = False,
     dense_res: Optional[Tuple[Optional[int], ...]] = None,
     bucket_pack: Optional[Tuple[int, ...]] = None,
+    run_dedup_seg: int = 0,
 ) -> jnp.ndarray:
     """Multi-level hash lookup with D-linear interpolation.
 
@@ -532,8 +566,14 @@ def hash_encode(
             )
         subs_t = tuple(s if s is not None else jnp.zeros((), jnp.int32) for s in subs)
         shapes = tuple(t.shape for t in table)
+        # consecutive-run dedup of the backward scatters, DENSE levels only
+        # (coarse cells -> real duplication along a ray); see _run_dedup_scatter
+        dedup = tuple(
+            (run_dedup_seg if (run_dedup_seg and dense_res[l] is not None) else 0)
+            for l in range(num_levels)
+        )
         outs_cp = _interp_gather_cp(
-            read_bf16, shapes, tuple(bucket_pack), n_corners, f,
+            read_bf16, shapes, tuple(bucket_pack), n_corners, f, dedup,
             tuple(table), tuple(idx_list), subs_t, tuple(ws),
         )
         outs = []
@@ -601,6 +641,7 @@ def hash_encode_gaussians(
     dense_res: Optional[Tuple[Optional[int], ...]] = None,
     bucket_pack: Optional[Tuple[int, ...]] = None,
     gather_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+    run_dedup_seg: int = 0,
 ) -> jnp.ndarray:
     """Encode multisampled gaussians and average over multisamples
     (`neurad_encoding.py:265-268,297-304`).
@@ -617,6 +658,7 @@ def hash_encode_gaussians(
     feats = hash_encode(
         gauss_mean, table, scales, table_size, level_weights=w, cell_packed=cell_packed,
         dense_res=dense_res, bucket_pack=bucket_pack, gather_dtype=gather_dtype,
+        run_dedup_seg=run_dedup_seg,
     )  # [..., M, L*F]
     return feats.mean(axis=-2)
 

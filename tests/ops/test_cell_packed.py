@@ -96,7 +96,7 @@ def test_fused_interp_gather_matches_autodiff(gather_dtype):
     def run_autodiff(pos, tables, lw):
         import unittest.mock as mock
 
-        ref = lambda rb, sh, pk, C, f, *args: he._interp_gather_cp_impl(rb, sh, pk, C, f, *args)[0]
+        ref = lambda rb, sh, pk, C, f, dd, *args: he._interp_gather_cp_impl(rb, sh, pk, C, f, *args)[0]
         with mock.patch.object(he, "_interp_gather_cp", ref):
             return run(pos, tables, lw)
 
@@ -127,3 +127,38 @@ def test_fused_interp_gather_matches_autodiff(gather_dtype):
             a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
             cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
             assert cos > 0.9999, cos
+
+
+def test_run_dedup_scatter_is_exact():
+    """Backward scatters with consecutive-run dedup == plain scatter-add:
+    identical table gradients on ray-structured positions (where consecutive
+    samples genuinely share coarse cells), including across ray boundaries."""
+    d, F, L = 3, 4, 4
+    scales = np.asarray(he.level_scales(L, 8, 128))
+    max_rows = 2**16
+    tables = he.init_hash_tables(
+        jax.random.PRNGKey(0), scales, d, max_rows, F, cell_packed=True, scale=0.5
+    )
+    _, dense_res, packs = he.level_layout(scales, d, max_rows, cell_packed=True)
+    assert any(r is not None for r in dense_res)
+    R, S = 17, 16
+    # rays marching slowly through space: heavy cell duplication at coarse levels
+    origins = jax.random.uniform(jax.random.PRNGKey(1), (R, 1, d), minval=0.2, maxval=0.8)
+    steps = jnp.linspace(0.0, 0.15, S)[None, :, None]
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (R, 1, d))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    pos = jnp.clip(origins + steps * dirs, 0.0, 0.999)
+
+    def loss(tables, seg):
+        out = he.hash_encode(
+            pos, tables, np.asarray(scales), cell_packed=True, dense_res=dense_res,
+            bucket_pack=packs, gather_dtype=None, run_dedup_seg=seg,
+        )
+        return jnp.sum(jnp.sin(2.0 * out))
+
+    g_plain = jax.grad(lambda t: loss(t, 0))(tables)
+    g_dedup = jax.grad(lambda t: loss(t, S))(tables)
+    for a, b in zip(g_dedup, g_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    # non-vacuous: the dedup path must actually merge runs at the coarse level
+    assert float(jnp.abs(g_plain[0]).max()) > 0
