@@ -184,30 +184,25 @@ class MLPProposalField(nn.Module):
         times = ray_samples.times if ray_samples.times is not None else jnp.zeros_like(ray_samples.deltas[..., 0, :])
         t = jnp.broadcast_to(times.reshape(times.shape[0], -1, 1)[:, :1, :], x.shape[:-1] + (1,))
 
-        # flatten [R, S, .] -> [R*S, .] BEFORE feature construction: the 3-D
-        # positions arrive S-minor ({1,0,2} tiling) from the sampling math and
-        # every elementwise op on that layout pays a relayout pass (~15 ms/step
-        # of kLoop fusions at the 57k-ray bench config, round-4 trace); one
-        # reshape up front makes the whole fourier+MLP chain clean 2-D
-        batch_shape = x.shape[:-1]
-        x2 = x.reshape(-1, x.shape[-1])
-        t2 = t.reshape(-1, 1)
+        # NOTE round-4: a [R,S,3]->[R*S,3] flatten was tried here (like
+        # NeuRADField) and MEASURED SLOWER (+31 ms/step): the fourier chain's
+        # S-minor layouts fuse fine, and the extra reshape materializations
+        # cost more than they save. Kept 3-D.
         octaves = 2.0 ** jnp.arange(self.num_freqs, dtype=x.dtype) * jnp.pi
-        ang = x2[..., None] * octaves  # [N, 3, F]
+        ang = x[..., None] * octaves  # [R, S, 3, F]
         t_oct = 2.0 ** jnp.arange(self.num_time_freqs, dtype=x.dtype) * self.time_scale
-        t_ang = t2[..., None] * t_oct  # [N, 1, Ft]
+        t_ang = t[..., None] * t_oct  # [R, S, 1, Ft]
         feats = jnp.concatenate(
             [
-                x2,
-                jnp.sin(ang).reshape(x2.shape[0], -1),
-                jnp.cos(ang).reshape(x2.shape[0], -1),
-                jnp.sin(t_ang).reshape(x2.shape[0], -1),
-                jnp.cos(t_ang).reshape(x2.shape[0], -1),
+                x,
+                jnp.sin(ang).reshape(x.shape[:-1] + (-1,)),
+                jnp.cos(ang).reshape(x.shape[:-1] + (-1,)),
+                jnp.sin(t_ang).reshape(x.shape[:-1] + (-1,)),
+                jnp.cos(t_ang).reshape(x.shape[:-1] + (-1,)),
             ],
             axis=-1,
         )
-        out = trunc_exp(self.density_decoder(self.mlp(feats)))
-        return out.reshape(batch_shape + (1,))
+        return trunc_exp(self.density_decoder(self.mlp(feats)))
 
     def __call__(self, ray_samples: RaySamples, edits=None) -> jnp.ndarray:
         return self.get_density(ray_samples, edits=edits)
