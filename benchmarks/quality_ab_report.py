@@ -46,14 +46,18 @@ def main():
     def verdict(arm, base="default"):
         if arm not in stats or base not in stats:
             return f"- {arm}: (incomplete)"
-        worse = []
+        trails = []
         for c in COLS:
             a, b = stats[arm][c].mean(), stats[base][c].mean()
-            delta = (a - b) if c in HIGHER else (b - a)  # positive = arm better
-            rel = delta / (abs(b) + 1e-9)
-            if rel < -0.05:
-                worse.append(f"{c} {a:.4f} vs {b:.4f}")
-        return f"- {base} vs {arm}: " + ("default within 5% or better on all metrics" if not worse else "default worse on: " + "; ".join(worse))
+            # positive = DEFAULT better than the deviation arm
+            adv = (b - a) if c in HIGHER else (a - b)
+            if adv / (abs(a) + 1e-9) < -0.05:
+                trails.append(f"{c} {b:.4f} (default) vs {a:.4f} ({arm})")
+        return f"- default vs {arm}: " + (
+            "default within 5% or better on every metric"
+            if not trails
+            else "default trails on: " + "; ".join(trails)
+        )
 
     print("\n### Verdicts (default = TPU-first architecture)\n")
     for arm in ("prop-hashgrid", "unpacked", "fp32", "faithful"):
