@@ -34,8 +34,11 @@ ARMS = ["default", "prop-hashgrid", "mlp-big", "unpacked", "fp32", "faithful", "
 
 # cell_packed=False (8 gathers/sample-level) overflows one v5e without
 # rematerialization at the full batch: those arms get lax.map ray chunking
-# (pure recompute — identical math, so the quality comparison is unaffected)
+# (pure recompute — identical math, so the quality comparison is unaffected).
+# The EVAL renderer needs the same treatment (the default 32k eval chunk OOMs
+# at 21.5G with unpacked 8-corner intermediates).
 ARM_CHUNK = {"unpacked": 8192, "faithful": 8192}
+ARM_EVAL_CHUNK = {"unpacked": 4096, "faithful": 4096}
 
 
 def build_overrides(arm: str) -> dict:
@@ -126,6 +129,7 @@ def run_arm(arm: str, steps: int, seed: int) -> dict:
         datamanager=ADDataManagerConfig(num_cam_patches=16, patch_size=32, num_lidar_rays=4096),
         model_overrides=build_overrides(arm),
         train_ray_chunk=ARM_CHUNK.get(arm, 0),
+        eval_chunk=ARM_EVAL_CHUNK.get(arm, 1 << 15),
         optimizer_groups=scaled_groups(steps),
         seed=seed,
     )
