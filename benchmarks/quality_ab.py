@@ -31,6 +31,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ARMS = ["default", "prop-hashgrid", "mlp-big", "unpacked", "fp32", "faithful", "prop-hashgrid-shared"]
+# diagnostic arms (not part of the headline table): prop-hashgrid-fp32
+# isolates the bf16 x hashgrid-proposal interaction behind the faithful-path
+# training divergence (VERDICT r4 Weak #3)
 
 # cell_packed=False (8 gathers/sample-level) overflows one v5e without
 # rematerialization at the full batch: those arms get lax.map ray chunking
@@ -38,7 +41,7 @@ ARMS = ["default", "prop-hashgrid", "mlp-big", "unpacked", "fp32", "faithful", "
 # The EVAL renderer needs the same treatment (the default 32k eval chunk OOMs
 # at 21.5G with unpacked 8-corner intermediates).
 ARM_CHUNK = {"unpacked": 8192, "faithful": 8192}
-ARM_EVAL_CHUNK = {"unpacked": 4096, "faithful": 4096}
+ARM_EVAL_CHUNK = {"unpacked": 4096, "faithful": 4096, "prop-hashgrid-fp32": 8192}
 
 
 def build_overrides(arm: str) -> dict:
@@ -49,6 +52,12 @@ def build_overrides(arm: str) -> dict:
         return {}
     if arm == "prop-hashgrid":
         return dict(proposal_mode="hashgrid")
+    if arm == "prop-hashgrid-fp32":
+        # hashgrid proposals + fp32 everywhere: if this trains stably while
+        # prop-hashgrid diverges, the instability is bf16 table reads/MLPs in
+        # the proposal fields; if it diverges too, the architecture itself is
+        # unstable on this harness regardless of precision
+        return dict(proposal_mode="hashgrid", compute_fp32=True)
     if arm == "prop-hashgrid-shared":
         # the reference's EFFECTIVE proposal architecture (late-binding bug,
         # PARITY.md): one hashgrid proposal field queried by both rounds
@@ -118,6 +127,11 @@ def scaled_groups(steps: int) -> dict:
 
 def run_arm(arm: str, steps: int, seed: int) -> dict:
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
 
     from neurad_tpu.data.datamanager import ADDataManagerConfig
     from neurad_tpu.data.dataparsers.synthetic import SyntheticDataParserConfig
