@@ -24,7 +24,11 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 LOGDIR = os.path.join(HERE, "ab_logs")
-STALL_S = 900  # no log growth for 15 min => kill + retry
+# No log growth for 40 min => kill + retry. Sized ABOVE the cold-compile
+# window (the full chunked NeuRAD train step compiles silently for many
+# minutes through the remote tunnel) but below the arm budget; steps print
+# every <=2 min once training starts.
+STALL_S = 2400
 
 # (arm, steps, seed, budget_seconds). Budgets ~2x the projected runtime at the
 # worst observed ms/step (tunnel-degraded): default 320ms, fp32 400ms,
@@ -49,7 +53,10 @@ def run_once(arm: str, steps: int, seed: int, budget: float, attempt: int) -> st
     with open(log, "w") as lf:
         proc = subprocess.Popen(
             cmd, stdout=lf, stderr=subprocess.STDOUT, cwd=ROOT,
-            start_new_session=True, env={**os.environ, "PYTHONPATH": ROOT},
+            start_new_session=True,
+            # APPEND to PYTHONPATH: /root/.axon_site on it registers the axon
+            # TPU backend plugin — clobbering it kills the TPU claim
+            env={**os.environ, "PYTHONPATH": ROOT + ":" + os.environ.get("PYTHONPATH", "")},
         )
     t0 = time.time()
     last_size, last_change = 0, time.time()

@@ -99,4 +99,7 @@ class RGBDecoderCNN(nn.Module):
         h = nn.ConvTranspose(self.hidden_dim, (up, up), strides=(up, up), dtype=dt)(h.astype(dt))
         h = block()(h, train)
         h = block()(h, train)
-        return nn.sigmoid(nn.Conv(3, (1, 1), dtype=dt)(h.astype(dt))).astype(jnp.float32)
+        # fp32 head: a bf16 1x1 conv + sigmoid quantizes RGB to ~2^-9 absolute
+        # (a ~50 dB PSNR ceiling, coarser than the reference's fp16 autocast);
+        # the 3-channel head is cheap so the bf16 win stays in the blocks.
+        return nn.sigmoid(nn.Conv(3, (1, 1), dtype=jnp.float32)(h.astype(jnp.float32)))

@@ -78,13 +78,19 @@ def actor_adjusted_means(
     # the MXU (the backward is onehot^T @ cotangent, an [A,N]x[N,16]
     # reduction, sub-ms). Static gaussians' lanes carry zero cotangent (the
     # where() below), so nothing leaks into actor A-1's pose gradient.
+    # Precision.HIGHEST: TPU matmuls default to bf16-rounded operands, which
+    # would displace world-frame actor translations (tens of meters) by cm-dm
+    # every step; HIGHEST keeps the one-hot selection exact, and at [N,A]x[A,16]
+    # / [N,A]x[A,6] it is essentially free.
     onehot = jax.nn.one_hot(ids_c, n_actors, dtype=means.dtype)  # [N, A]
-    per_pose = (onehot @ b2w.reshape(n_actors, 16)).reshape(-1, 4, 4)
+    per_pose = jnp.matmul(
+        onehot, b2w.reshape(n_actors, 16), precision=jax.lax.Precision.HIGHEST
+    ).reshape(-1, 4, 4)
     rot = per_pose[:, :3, :3]  # [N, 3, 3]
     trans = per_pose[:, :3, 3]
     r_world = jnp.einsum("nij,nj->ni", rot, means)  # offset from box center, world frame
     world_means = r_world + trans
-    per_vel = onehot @ vels6  # [N, 6]
+    per_vel = jnp.matmul(onehot, vels6, precision=jax.lax.Precision.HIGHEST)  # [N, 6]
     lin = per_vel[:, :3]
     ang = per_vel[:, 3:]
     ang_world = jnp.einsum("nij,nj->ni", rot, ang)

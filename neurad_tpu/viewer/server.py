@@ -256,9 +256,14 @@ class ViewerServer:
         if client is None:
             return
         with self._tstate_lock:
-            self._client_seq[client] = max(seq, self._client_seq.get(client, 0))
-            # clientIds regenerate per page load; evict oldest-inserted entries
-            # so a long-running viewer process doesn't grow this without bound
+            # LRU semantics: pop + re-insert so eviction removes the LEAST
+            # RECENTLY SEEN client, not the longest-connected active one
+            # (plain insertion order would evict an active client, whose next
+            # out-of-order frame then passes _is_stale after re-insertion)
+            prev = self._client_seq.pop(client, 0)
+            self._client_seq[client] = max(seq, prev)
+            # clientIds regenerate per page load; evict stalest entries so a
+            # long-running viewer process doesn't grow this without bound
             while len(self._client_seq) > 64:
                 self._client_seq.pop(next(iter(self._client_seq)))
 
