@@ -83,6 +83,10 @@ class ADPipeline:
             self.model = NeuRADModel(**model_kwargs)
 
         self.num_cam_rays = self.datamanager.num_cam_rays
+        # the TRAIN loss sees the GLOBAL batch: under multi-host SPMD
+        # (`parallel/sharding.py:assemble_global_train_batch`) every host
+        # contributes num_cam_rays camera rays, laid out [all cam | all lidar]
+        self._train_num_cam_rays = self.num_cam_rays * jax.process_count()
         self.patch_size = self.datamanager.patch_shape
 
         # VGG19 perceptual stack (`losses.py:582-625`): loaded ONCE and closed
@@ -150,7 +154,7 @@ class ADPipeline:
             )
             features = nff.pop("features")
             rgb, intensity, ray_drop_logits = self.model.apply(
-                params, features, self.patch_size, self.num_cam_rays, True,
+                params, features, self.patch_size, self._train_num_cam_rays, True,
                 method=NeuRADModel.decode_features,
             )
             out = dict(nff)
@@ -160,9 +164,10 @@ class ADPipeline:
                 out["ray_drop_logits"] = ray_drop_logits
         else:
             out = self.model.apply(
-                params, bundle, self.patch_size, self.num_cam_rays, True, rng, method=NeuRADModel.get_outputs
+                params, bundle, self.patch_size, self._train_num_cam_rays, True, rng,
+                method=NeuRADModel.get_outputs,
             )
-        return self.model.apply(params, out, batch, self.num_cam_rays, method=NeuRADModel.compute_losses)
+        return self.model.apply(params, out, batch, self._train_num_cam_rays, method=NeuRADModel.compute_losses)
 
     def make_train_step(self, tx):
         return make_train_step(self.loss_fn, tx)

@@ -282,7 +282,9 @@ def entrypoint(argv=None):
         # wraps in DDP whenever world_size > 1, base_pipeline.py:306)
         from neurad_tpu.parallel.sharding import make_mesh, make_sharded_train_step
 
-        step_fn = make_sharded_train_step(step_fn, make_mesh())
+        step_fn = make_sharded_train_step(
+            step_fn, make_mesh(), num_cam_rays=pipeline.num_cam_rays
+        )
 
     trainer = Trainer(
         step_fn,
