@@ -120,6 +120,12 @@ class StaticSettings(NamedTuple):
     # dense coarse levels (ops/hash_encoding._run_dedup_scatter) — pure perf
     # knob, measured on TPU before enabling by default
     run_dedup: bool = False
+    # scatter-free sorted segmented-sum table gradients for levels with at
+    # most this many UNPACKED bucket rows (0 = off); exact — see
+    # ops/hash_encoding._segsum_dense_grad. At bench shapes this covers the
+    # two coarse dense levels (36k/358k rows), whose scatter-adds otherwise
+    # cost the full 14.6 ns/row serial floor (~26 ms each at 1.8M rows).
+    segsum_grad_rows: int = 0
 
 
 class ActorSettings(NamedTuple):
@@ -229,6 +235,7 @@ class NeuRADHashEncoding(nn.Module):
             static_g.mean, static_g.std, self.static_table, self.static_scales,
             cell_packed=self.static.cell_packed, dense_res=self.static_dense_res, bucket_pack=self.static_pack,
             gather_dtype=static_gather_dtype, run_dedup_seg=seg,
+            segsum_max_rows=self.static.segsum_grad_rows,
         )  # [R, S, L*F]
 
         if self.disable_actors or self.actors.n_actors == 0:

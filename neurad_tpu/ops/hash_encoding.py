@@ -355,6 +355,67 @@ def _run_dedup_scatter(bucket, upd, n_rows, seg: int):
     return jnp.zeros((n_rows, s.shape[-1]), s.dtype).at[bucket_eff].add(s)
 
 
+def _segsum_dense_grad(bucket, w2, g2, n_rows_unpacked: int, bf16_payload: bool):
+    """EXACT per-bucket table-gradient sums with NO scatter: sort + fp32
+    prefix-sum + boundary differences, output DENSE over all buckets.
+
+    The scatter-add floor is ~14.6 ns/UPDATE-ROW of serialized conflict-safe
+    RMW (PERFORMANCE.md; `benchmarks/scatter_oob.py` shows dropped rows cost
+    the same, which kills every capped/windowed scheme on hot buckets). For
+    levels whose UNPACKED bucket count T is small (the dense coarse levels:
+    36k/358k buckets vs 1.8M update rows at bench shapes) the whole reduction
+    can instead be:
+
+      sort rows by bucket (bitonic, ~3 ms at 1.8M keys; the rank-1 update
+      structure w (x) g means only the C+f factor columns ride the sort as
+      packed int32 pairs, not the C*f-wide update) ->
+      build updates post-sort -> fp32 running prefix-sum ->
+      per-bucket sum = csum[start(t+1)] - csum[start(t)], a 2T-row gather
+      with starts from one `searchsorted` (method="sort": one extra merge
+      sort, not 21 binary-search gather rounds).
+
+    Gradient equality with the scatter path is exact up to fp32 summation
+    order (prefix-sum vs scatter order); the boundary DIFFERENCE loses
+    ~log2(prefix/|row|) mantissa bits on long streams — still far above the
+    bf16 accumulators large tables use. Window/one-hot matmul alternatives
+    were rejected by arithmetic: their window+compare cost scales with
+    cap x T, and production fine levels have T (4.19M unpacked) >= n (1.8M),
+    unlike the T=131k microbenchmark regime where 1.75x was measured
+    (`benchmarks/scatter_matmul.py`).
+    """
+    n = bucket.shape[0]
+    C, f = w2.shape[-1], g2.shape[-1]
+    if bf16_payload:
+        # pack bf16 pairs -> int32 sort operands ((C+f) even for d in (3,4));
+        # same quantization point as the scatter path's bf16 update build
+        payload = jnp.concatenate([w2.astype(jnp.bfloat16), g2.astype(jnp.bfloat16)], axis=-1)
+        packed = jax.lax.bitcast_convert_type(payload.reshape(n, (C + f) // 2, 2), jnp.int32)
+    else:
+        payload = jnp.concatenate([w2.astype(jnp.float32), g2.astype(jnp.float32)], axis=-1)
+        packed = jax.lax.bitcast_convert_type(payload, jnp.int32)
+    cols = packed.shape[-1]
+    ops = jax.lax.sort(
+        (bucket.astype(jnp.int32), *[packed[:, k] for k in range(cols)]),
+        num_keys=1, is_stable=False,
+    )
+    si = ops[0]
+    stacked = jnp.stack(ops[1:], axis=-1)
+    if bf16_payload:
+        pay_s = jax.lax.bitcast_convert_type(stacked, jnp.bfloat16).reshape(n, C + f)
+    else:
+        pay_s = jax.lax.bitcast_convert_type(stacked, jnp.float32)
+    w_s, g_s = pay_s[..., :C], pay_s[..., C:]
+    # sample-major [n, C*f] rank-1 updates, built AFTER the sort (2-D slices
+    # only — see _interp_gather_cp layout notes)
+    upd = jnp.concatenate([w_s[:, c : c + 1] * g_s for c in range(C)], axis=-1)
+    csum = jnp.cumsum(upd.astype(jnp.float32), axis=0)
+    csum_pad = jnp.concatenate([jnp.zeros((1, C * f), jnp.float32), csum], axis=0)
+    starts = jnp.searchsorted(
+        si, jnp.arange(n_rows_unpacked + 1, dtype=si.dtype), method="sort"
+    )
+    return csum_pad[starts[1:]] - csum_pad[starts[:-1]]  # [T, C*f] fp32
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _interp_gather_cp(read_bf16, shapes, pks, n_corners, f, dedup, tables, idx, subs, w):
     """Fused gather + bucket-select + corner-interpolation for CELL-PACKED
@@ -444,18 +505,28 @@ def _interp_gather_cp_bwd(read_bf16, shapes, pks, n_corners, f, dedup, res, g):
             for c in range(n_corners)
         ]
         dws.append(jnp.concatenate(dw_cols, axis=-1).astype(w[l].dtype))
+        bucket = idx[l] * pk + subs[l] if pk > 1 else idx[l]
+        n = int(np.prod(g_l.shape[:-1]))
+        accum_dtype = (
+            jnp.float32 if rows_phys * width * 4 <= _FP32_ACCUM_MAX_BYTES else jnp.bfloat16
+        )
+        if dedup[l] == "segsum":
+            # scatter-free exact segmented sum (coarse levels; see
+            # _segsum_dense_grad). The rank-1 factors ride the sort; the wide
+            # update is built post-sort.
+            acc = _segsum_dense_grad(
+                bucket.reshape(n), w[l].reshape(n, n_corners), g_l.reshape(n, f),
+                rows_phys * pk, bf16_payload=read_bf16,
+            )
+            dtables.append(acc.reshape(rows_phys, width))
+            continue
         # d/dtable rows: upd[.., c*f+j] = w[.., c] * g[.., j], built from 2-D
         # column slices so the result is n-major for the scatter directly
         wl = w[l].astype(feats.dtype)
         upd = jnp.concatenate(
             [wl[..., c : c + 1] * gl for c in range(n_corners)], axis=-1
         )  # [..., C*f]
-        n = int(np.prod(upd.shape[:-1]))
         upd2 = upd.reshape(n, f_row)
-        bucket = idx[l] * pk + subs[l] if pk > 1 else idx[l]
-        accum_dtype = (
-            jnp.float32 if rows_phys * width * 4 <= _FP32_ACCUM_MAX_BYTES else jnp.bfloat16
-        )
         if dedup[l]:
             acc = _run_dedup_scatter(
                 bucket.reshape(n), upd2.astype(accum_dtype), rows_phys * pk, dedup[l]
@@ -481,6 +552,7 @@ def hash_encode(
     dense_res: Optional[Tuple[Optional[int], ...]] = None,
     bucket_pack: Optional[Tuple[int, ...]] = None,
     run_dedup_seg: int = 0,
+    segsum_max_rows: int = 0,
 ) -> jnp.ndarray:
     """Multi-level hash lookup with D-linear interpolation.
 
@@ -566,10 +638,17 @@ def hash_encode(
             )
         subs_t = tuple(s if s is not None else jnp.zeros((), jnp.int32) for s in subs)
         shapes = tuple(t.shape for t in table)
-        # consecutive-run dedup of the backward scatters, DENSE levels only
-        # (coarse cells -> real duplication along a ray); see _run_dedup_scatter
+        # backward table-grad mode per level: "segsum" = scatter-free sorted
+        # segmented sum for levels whose UNPACKED bucket count is small (the
+        # dense coarse levels — see _segsum_dense_grad); else optional
+        # consecutive-run dedup on dense levels (_run_dedup_scatter); else
+        # plain scatter-add.
         dedup = tuple(
-            (run_dedup_seg if (run_dedup_seg and dense_res[l] is not None) else 0)
+            (
+                "segsum"
+                if (segsum_max_rows and shapes[l][0] * bucket_pack[l] <= segsum_max_rows)
+                else (run_dedup_seg if (run_dedup_seg and dense_res[l] is not None) else 0)
+            )
             for l in range(num_levels)
         )
         outs_cp = _interp_gather_cp(
@@ -642,6 +721,7 @@ def hash_encode_gaussians(
     bucket_pack: Optional[Tuple[int, ...]] = None,
     gather_dtype: Optional[jnp.dtype] = jnp.bfloat16,
     run_dedup_seg: int = 0,
+    segsum_max_rows: int = 0,
 ) -> jnp.ndarray:
     """Encode multisampled gaussians and average over multisamples
     (`neurad_encoding.py:265-268,297-304`).
@@ -658,7 +738,7 @@ def hash_encode_gaussians(
     feats = hash_encode(
         gauss_mean, table, scales, table_size, level_weights=w, cell_packed=cell_packed,
         dense_res=dense_res, bucket_pack=bucket_pack, gather_dtype=gather_dtype,
-        run_dedup_seg=run_dedup_seg,
+        run_dedup_seg=run_dedup_seg, segsum_max_rows=segsum_max_rows,
     )  # [..., M, L*F]
     return feats.mean(axis=-2)
 

@@ -162,3 +162,77 @@ def test_run_dedup_scatter_is_exact():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
     # non-vacuous: the dedup path must actually merge runs at the coarse level
     assert float(jnp.abs(g_plain[0]).max()) > 0
+
+
+def test_segsum_dense_grad_matches_scatter_direct():
+    """_segsum_dense_grad (sort + prefix-sum boundary diffs) == .at[].add,
+    both payload packings, incl. duplicated keys, empty buckets, and an
+    all-same-key stream."""
+    key = jax.random.PRNGKey(7)
+    n, C, F, T = 4096, 8, 4, 777
+    bucket = jax.random.randint(key, (n,), 0, T // 2)  # upper half: empty buckets
+    w2 = jax.random.normal(jax.random.PRNGKey(8), (n, C))
+    g2 = jax.random.normal(jax.random.PRNGKey(9), (n, F))
+
+    def ref(wq, gq):
+        upd = jnp.concatenate([wq[:, c : c + 1] * gq for c in range(C)], axis=-1)
+        return jnp.zeros((T, C * F), jnp.float32).at[bucket].add(upd.astype(jnp.float32))
+
+    got32 = he._segsum_dense_grad(bucket, w2, g2, T, bf16_payload=False)
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(ref(w2, g2)), rtol=2e-5, atol=2e-4)
+
+    wb, gb = w2.astype(jnp.bfloat16), g2.astype(jnp.bfloat16)
+    got16 = he._segsum_dense_grad(bucket, w2, g2, T, bf16_payload=True)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(ref(wb, gb)), rtol=2e-2, atol=2e-2)
+
+    # all rows into one bucket: the worst prefix-sum cancellation case
+    one = jnp.full((n,), 3, jnp.int32)
+    got_one = he._segsum_dense_grad(one, w2, g2, 7, bf16_payload=False)
+    want_one = jnp.zeros((7, C * F), jnp.float32).at[one].add(
+        jnp.concatenate([w2[:, c : c + 1] * g2 for c in range(C)], axis=-1)
+    )
+    np.testing.assert_allclose(np.asarray(got_one), np.asarray(want_one), rtol=2e-4, atol=3e-3)
+
+
+@pytest.mark.parametrize("gather_dtype", [None, jnp.bfloat16])
+def test_segsum_grad_matches_scatter_end_to_end(gather_dtype):
+    """hash_encode gradients with segsum_max_rows covering the coarse levels
+    == the plain scatter path, on ray-structured positions (real duplication).
+    Fine levels above the row threshold must keep using the scatter path."""
+    d, F, L = 3, 4, 4
+    scales = np.asarray(he.level_scales(L, 8, 128))
+    max_rows = 2**16
+    tables = he.init_hash_tables(
+        jax.random.PRNGKey(0), scales, d, max_rows, F, cell_packed=True, scale=0.5
+    )
+    _, dense_res, packs = he.level_layout(scales, d, max_rows, cell_packed=True)
+    R, S = 17, 16
+    origins = jax.random.uniform(jax.random.PRNGKey(1), (R, 1, d), minval=0.2, maxval=0.8)
+    steps = jnp.linspace(0.0, 0.15, S)[None, :, None]
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (R, 1, d))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    pos = jnp.clip(origins + steps * dirs, 0.0, 0.999)
+
+    # threshold between the two coarsest and the finer levels
+    rows_unpacked = [t.shape[0] * p for t, p in zip(tables, packs)]
+    thresh = sorted(rows_unpacked)[1]
+
+    def loss(tables, segsum):
+        out = he.hash_encode(
+            pos, tables, np.asarray(scales), cell_packed=True, dense_res=dense_res,
+            bucket_pack=packs, gather_dtype=gather_dtype, segsum_max_rows=segsum,
+        )
+        return jnp.sum(jnp.sin(2.0 * out))
+
+    g_plain = jax.grad(lambda t: loss(t, 0))(tables)
+    g_seg = jax.grad(lambda t: loss(t, thresh))(tables)
+    n_covered = sum(1 for r in rows_unpacked if r <= thresh)
+    assert 1 <= n_covered < L  # non-vacuous split
+    for a, b in zip(g_seg, g_plain):
+        if gather_dtype is None:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+        else:
+            # bf16 products on both sides; summation order differs
+            # (prefix-sum diffs vs scatter order)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3)
+    assert float(jnp.abs(g_plain[0]).max()) > 0
