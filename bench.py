@@ -168,6 +168,42 @@ def bench_splatad():
         "tuned_vs_default_psnr_db": round(10.0 * np.log10(1.0 / max(mse, 1e-12)), 1),
     }
 
+    # --- tuned camera render at PandaSet sensor resolution 1080x1920
+    # (the reference's real-time pitch is sensor-res on an RTX GPU,
+    # README.md:39; PandaSet cameras are 1080x1920) ---
+    w2, h2 = 1920, 1080
+    K2 = jnp.array([[0.7 * w2, 0, w2 / 2], [0, 0.7 * w2, h2 / 2], [0, 0, 1.0]])
+
+    @jax.jit
+    def render_chain_1080(params, c2ws):
+        def body(i, s):
+            o = model.apply(
+                params, c2ws[i], K2, w2, h2,
+                jnp.zeros(()), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                method=SplatADModel.get_camera_outputs,
+            )
+            return s + jnp.sum(o["rgb"][::97, ::97])
+        return jax.lax.fori_loop(0, K_CHAIN, body, jnp.float32(0))
+
+    print("[bench] compiling splatad camera render 1080p...", file=sys.stderr, flush=True)
+    t = chain_time(render_chain_1080, params, c2ws)
+    out["render_fps_1080x1920"] = round(1.0 / t, 1)
+    o_tuned2 = model.apply(
+        params, c2ws[0], K2, w2, h2, jnp.zeros(()), jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32), method=SplatADModel.get_camera_outputs,
+    )
+    o_def2 = model_ref.apply(
+        params_ref, c2ws[0], K2, w2, h2, jnp.zeros(()), jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32), method=SplatADModel.get_camera_outputs,
+    )
+    mse2 = float(jnp.mean((o_tuned2["rgb"] - o_def2["rgb"]) ** 2))
+    out["overflow_1080p"] = {
+        "dropped_pairs": int(o_tuned2["binning_dropped_pairs"]),
+        "cropped_gaussians": int(o_tuned2["binning_cropped_gaussians"]),
+        "culled_visible": int(o_tuned2["binning_culled_visible"]),
+        "tuned_vs_default_psnr_db": round(10.0 * np.log10(1.0 / max(mse2, 1e-12)), 1),
+    }
+
     # --- lidar scan (default config, like the training path) ---
     model_d, params_d = build(SplatADConfig())
     m = 65536
@@ -239,6 +275,31 @@ def bench_splatad():
         state, _m, _aux = cam_step(state, *samples[(i + 1) % len(samples)])
     jax.block_until_ready(state.params)
     out["camera_train_step_ms"] = round(1000.0 * (time.perf_counter() - t0) / n_steps, 1)
+
+    # --- lidar train step (fwd+bwd+adam on a 65k-pt scan) — VERDICT r4 #4:
+    # only the render scans/s was driver-tracked before ---
+    print("[bench] compiling splatad lidar train step...", file=sys.stderr, flush=True)
+    lid_step = pipe._make_lidar_step()
+
+    def dev_lidar(i):
+        s = pipe.datamanager._lidar_sample(i % len(outputs.point_clouds))
+        return (
+            jax.device_put(_np.asarray(s.l2w)), jax.device_put(_np.asarray(s.raster_pts)),
+            jax.device_put(_np.asarray(s.did_return)), jax.device_put(_np.asarray(s.valid)),
+            jax.device_put(_np.asarray(s.time, _np.float32)),
+            jax.device_put(_np.asarray(s.sensor_idx, _np.int32)),
+            jax.device_put(_np.asarray(s.linear_velocity, _np.float32)),
+        )
+
+    lsamples = [dev_lidar(i) for i in range(2)]
+    jax.block_until_ready([s[1] for s in lsamples])
+    state, _m = lid_step(state, *lsamples[0])
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, _m = lid_step(state, *lsamples[(i + 1) % len(lsamples)])
+    jax.block_until_ready(state.params)
+    out["lidar_train_step_ms"] = round(1000.0 * (time.perf_counter() - t0) / n_steps, 1)
 
     out["vs_realtime_10hz"] = round(min(out["render_fps_480x720"], out["lidar_scans_per_sec"]) / 10.0, 2)
     return out
