@@ -55,6 +55,10 @@ def entrypoint(argv=None):
     parser.add_argument("--viewer", action="store_true", help="serve the live browser viewer during training")
     parser.add_argument("--viewer-port", type=int, default=7007)
     parser.add_argument("--set", action="append", default=[], metavar="PATH=VALUE", help="config override")
+    parser.add_argument(
+        "--dp-set", action="append", default=[], metavar="KEY=VALUE",
+        help="dataparser config override (e.g. image_height=480); ints/floats auto-coerced",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -78,6 +82,15 @@ def entrypoint(argv=None):
         dp_kwargs["data"] = args.data
     if args.sequence:
         dp_kwargs["sequence"] = args.sequence
+    for ov in args.dp_set:
+        k, _, v = ov.partition("=")
+        try:
+            dp_kwargs[k] = int(v)
+        except ValueError:
+            try:
+                dp_kwargs[k] = float(v)
+            except ValueError:
+                dp_kwargs[k] = v
     dataparser = get_dataparser(args.dataparser or cfg.dataparser, **dp_kwargs)
     outputs = dataparser.get_dataparser_outputs("train")
 
