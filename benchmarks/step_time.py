@@ -1,6 +1,7 @@
 """Time the full NeuRAD train step (bench config) with optional overrides.
 
-Usage: python benchmarks/step_time.py [--dedup] [--patches 40] [--lidar 16384] [--steps 20]
+Usage: python benchmarks/step_time.py [--dedup] [--segsum ROWS] [--patches 40]
+       [--lidar 16384] [--steps 20]
 """
 
 import argparse
@@ -19,6 +20,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dedup", action="store_true")
+    ap.add_argument("--segsum", type=int, default=0, help="segsum_grad_rows threshold (0=off)")
     ap.add_argument("--patches", type=int, default=40)
     ap.add_argument("--lidar", type=int, default=16384)
     ap.add_argument("--steps", type=int, default=20)
@@ -33,6 +35,10 @@ def main():
     overrides = dict(sampling=SamplingSettings())
     if args.dedup:
         overrides["field_static"] = StaticSettings(run_dedup=True)
+    if args.segsum:
+        overrides["field_static"] = overrides.get(
+            "field_static", StaticSettings()
+        )._replace(segsum_grad_rows=args.segsum)
 
     parser = SyntheticDataParserConfig(num_frames=10, image_height=192, image_width=288).setup()
     pipe = ADPipeline(
@@ -59,7 +65,8 @@ def main():
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
     print(
-        f"rays/s: {args.steps * rays / dt:.1f}  step: {1000 * dt / args.steps:.1f} ms  dedup={args.dedup}",
+        f"rays/s: {args.steps * rays / dt:.1f}  step: {1000 * dt / args.steps:.1f} ms"
+        f"  dedup={args.dedup} segsum={args.segsum}",
         flush=True,
     )
 
