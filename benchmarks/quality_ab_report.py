@@ -60,7 +60,10 @@ def main():
         )
 
     print("\n### Verdicts (default = TPU-first architecture)\n")
-    for arm in ("prop-hashgrid", "unpacked", "fp32", "faithful"):
+    for arm in (
+        "prop-hashgrid", "prop-hashgrid-shared", "prop-hashgrid-fp32",
+        "mlp-big", "unpacked", "fp32", "faithful",
+    ):
         print(verdict(arm))
 
 
