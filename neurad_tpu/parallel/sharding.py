@@ -50,8 +50,13 @@ def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "data") -> Any:
     if jax.process_count() > 1:
 
         def put(x):
-            # every host holds the SAME full array here (eval/render paths);
-            # per-host-local train shards go through assemble_global_train_batch
+            # Each host passes a GLOBAL-SHAPED array and contributes its own
+            # process block of rows. Two valid callers: host-identical arrays
+            # (eval/render — the assembled global equals the array), and
+            # per-host sample lists of global size (splat pipelines — host i's
+            # block comes from host i's sampler, i.e. per-host feeding; rows
+            # outside the block are built but unused). Mixed-modality NeuRAD
+            # ray batches need assemble_global_train_batch instead.
             local = np.asarray(x)
             if local.ndim == 0 or local.shape[0] % n_dev:
                 return _put_replicated(mesh, local)
