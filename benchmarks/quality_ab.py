@@ -126,6 +126,8 @@ def scaled_groups(steps: int) -> dict:
 
 
 def run_arm(arm: str, steps: int, seed: int) -> dict:
+    import pickle
+
     import jax
 
     jax.config.update(
@@ -151,16 +153,56 @@ def run_arm(arm: str, steps: int, seed: int) -> dict:
     state, tx = pipe.init_state()
     step_fn = pipe.make_train_step(tx)
 
+    # Mid-run checkpointing: the remote TPU tunnel stalls roughly hourly, and
+    # losing a 3-hour arm to a stall twice per round is what kept the
+    # unpacked/faithful arms unreported for two rounds. EXACT resume: device
+    # train state + the datamanager's host numpy Generator (the sample stream
+    # position) + accumulated wall time, saved every CKPT_EVERY steps. The
+    # trained trajectory is bit-identical to an uninterrupted run.
+    import jax.numpy as jnp
+    import numpy as np
+
+    np_from_jnp = lambda x: np.asarray(x)
+    jnp_from_np = lambda x: jnp.asarray(x)
+    # ~1.4 GB of state per save through the tunnel (~30-60 s): every 500 steps
+    # (~17 min) keeps the overhead ~4% while capping stall losses at 500 steps
+    CKPT_EVERY = 500
+    ckpt_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"ab_ckpt_{arm}_s{seed}_{steps}.pkl"
+    )
+    start_i, prev_s, losses = 0, 0.0, []
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path, "rb") as f:
+            ck = pickle.load(f)
+        state = jax.tree.map(jnp_from_np, ck["state"])
+        pipe.datamanager._rng.bit_generator.state = ck["rng_state"]
+        start_i, prev_s, losses = ck["i"] + 1, ck["train_s"], ck["losses"]
+        print(f"[{arm}] resumed from step {ck['i']}", flush=True)
+
     t_start = time.perf_counter()
-    losses = []
-    for i in range(steps):
+    for i in range(start_i, steps):
         state, metrics = step_fn(state, *pipe.datamanager.next_train())
         if i % 100 == 0 or i == steps - 1:
             loss = float(metrics["total_loss"])
             losses.append(loss)
             print(f"[{arm}] step {i}: loss={loss:.4f}", flush=True)
+        if i % CKPT_EVERY == 0 and i > start_i:
+            with open(ckpt_path + ".tmp", "wb") as f:
+                pickle.dump(
+                    {
+                        "i": i,
+                        "state": jax.tree.map(np_from_jnp, state),
+                        "rng_state": pipe.datamanager._rng.bit_generator.state,
+                        "train_s": prev_s + (time.perf_counter() - t_start),
+                        "losses": losses,
+                    },
+                    f,
+                )
+            os.replace(ckpt_path + ".tmp", ckpt_path)
     jax.block_until_ready(state.params)
-    train_s = time.perf_counter() - t_start
+    train_s = prev_s + (time.perf_counter() - t_start)
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
 
     ev = pipe.eval_metrics(state)
     ev["arm"] = arm
