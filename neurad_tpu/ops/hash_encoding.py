@@ -279,8 +279,10 @@ def _gather_levels_bwd(table_size, read_bf16, res, g):
 _gather_levels.defvjp(_gather_levels_fwd, _gather_levels_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _gather_levels_multi(read_bf16: bool, shapes: tuple, tables: tuple, idx: tuple) -> tuple:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gather_levels_multi(
+    read_bf16: bool, shapes: tuple, segsum_max_rows: int, tables: tuple, idx: tuple
+) -> tuple:
     """Per-level gather against a TUPLE of per-level tables: the TPU fast path.
 
     vs the single-array `_gather_levels` (kept for the legacy [L*T, F] layout):
@@ -309,13 +311,51 @@ def _gather_levels_multi_impl(read_bf16, tables, idx):
     return tuple(outs)
 
 
-def _gather_levels_multi_fwd(read_bf16, shapes, tables, idx):
+def _gather_levels_multi_fwd(read_bf16, shapes, segsum_max_rows, tables, idx):
     return _gather_levels_multi_impl(read_bf16, tables, idx), idx
 
 
-def _gather_levels_multi_bwd(read_bf16, shapes, idx, g):
+def _segsum_rows(bucket, upd, n_rows: int, bf16_payload: bool):
+    """Scatter-free per-bucket sums for ARBITRARY update rows (no rank-1
+    structure): the f update columns ride the sort directly (packed pairs in
+    bf16 mode). Same sort + fp32 prefix-sum + dense boundary-diff scheme as
+    `_segsum_dense_grad`; used by the unpacked/parity gather path where each
+    corner row is its own update."""
+    n, f = upd.shape
+    if bf16_payload:
+        u16 = upd.astype(jnp.bfloat16)
+        if f % 2:
+            u16 = jnp.concatenate([u16, jnp.zeros((n, 1), jnp.bfloat16)], axis=-1)
+        packed = jax.lax.bitcast_convert_type(u16.reshape(n, -1, 2), jnp.int32)
+    else:
+        packed = jax.lax.bitcast_convert_type(upd.astype(jnp.float32), jnp.int32)
+    cols = packed.shape[-1]
+    ops = jax.lax.sort(
+        (bucket.astype(jnp.int32), *[packed[:, k] for k in range(cols)]),
+        num_keys=1, is_stable=False,
+    )
+    si = ops[0]
+    stacked = jnp.stack(ops[1:], axis=-1)
+    if bf16_payload:
+        pay = jax.lax.bitcast_convert_type(stacked, jnp.bfloat16).reshape(n, -1)[:, :f]
+    else:
+        pay = jax.lax.bitcast_convert_type(stacked, jnp.float32)
+    csum = jnp.cumsum(pay.astype(jnp.float32), axis=0)
+    csum_pad = jnp.concatenate([jnp.zeros((1, f), jnp.float32), csum], axis=0)
+    starts = jnp.searchsorted(si, jnp.arange(n_rows + 1, dtype=si.dtype), method="sort")
+    return csum_pad[starts[1:]] - csum_pad[starts[:-1]]  # [T, f] fp32
+
+
+def _gather_levels_multi_bwd(read_bf16, shapes, segsum_max_rows, idx, g):
     parts = []
     for idx_l, g_l, shape in zip(idx, g, shapes):
+        if segsum_max_rows and shape[0] <= segsum_max_rows:
+            n = int(np.prod(g_l.shape[:-1]))
+            dt = _segsum_rows(
+                idx_l.reshape(n), g_l.reshape(n, shape[1]), shape[0], bf16_payload=read_bf16
+            )
+            parts.append(dt)
+            continue
         # fp32 accumulation when the buffer is small enough (all dense levels),
         # bf16 beyond (tcnn accumulates its table grads in fp16 the same way)
         accum_dtype = jnp.float32 if shape[0] * shape[1] * 4 <= _FP32_ACCUM_MAX_BYTES else jnp.bfloat16
@@ -665,7 +705,9 @@ def hash_encode(
 
     if multi:
         shapes = tuple(t.shape for t in table)
-        feats_per_level = _gather_levels_multi(read_bf16, shapes, tuple(table), tuple(idx_list))
+        feats_per_level = _gather_levels_multi(
+            read_bf16, shapes, segsum_max_rows, tuple(table), tuple(idx_list)
+        )
     else:
         feats_per_level = _gather_levels(table_size, read_bf16, table, tuple(idx_list))
 

@@ -236,3 +236,39 @@ def test_segsum_grad_matches_scatter_end_to_end(gather_dtype):
             # (prefix-sum diffs vs scatter order)
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3)
     assert float(jnp.abs(g_plain[0]).max()) > 0
+
+
+@pytest.mark.parametrize("gather_dtype", [None, jnp.bfloat16])
+def test_segsum_grad_unpacked_path(gather_dtype):
+    """The UNPACKED (face-shared corner) gather path's segsum backward
+    (_segsum_rows: update columns ride the sort directly) == plain scatter."""
+    d, F, L = 3, 4, 4
+    scales = np.asarray(he.level_scales(L, 8, 128))
+    max_rows = 2**16
+    tables = he.init_hash_tables(
+        jax.random.PRNGKey(0), scales, d, max_rows, F, cell_packed=False, scale=0.5
+    )
+    _, dense_res, packs = he.level_layout(scales, d, max_rows, cell_packed=False)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (213, d), minval=0.0, maxval=0.999)
+
+    rows = [t.shape[0] for t in tables]
+    thresh = sorted(rows)[1]
+
+    def loss(tables, segsum):
+        out = he.hash_encode(
+            pos, tables, np.asarray(scales), cell_packed=False, dense_res=dense_res,
+            bucket_pack=packs, gather_dtype=gather_dtype, segsum_max_rows=segsum,
+        )
+        return jnp.sum(jnp.sin(2.0 * out))
+
+    g_plain = jax.grad(lambda t: loss(t, 0))(tables)
+    g_seg = jax.grad(lambda t: loss(t, thresh))(tables)
+    n_covered = sum(1 for r in rows if r <= thresh)
+    assert 1 <= n_covered < L
+    for a, b in zip(g_seg, g_plain):
+        # fp32: prefix-sum boundary differences carry ~1e-4 absolute noise on
+        # long duplicate streams (documented cancellation); still 100x tighter
+        # than the bf16 accumulators large tables use
+        tol = dict(rtol=1e-3, atol=2e-4) if gather_dtype is None else dict(rtol=1e-2, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
+    assert float(jnp.abs(g_plain[0]).max()) > 0
