@@ -35,6 +35,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--arm", default=None, help="explicit quality_ab arm name")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -45,7 +46,7 @@ def main():
     from neurad_tpu.engine.optimizers import label_params
     from neurad_tpu.pipelines.ad_pipeline import ADPipeline, ADPipelineConfig
 
-    overrides = build_overrides("prop-hashgrid-fp32" if args.fp32 else "prop-hashgrid")
+    overrides = build_overrides(args.arm or ("prop-hashgrid-fp32" if args.fp32 else "prop-hashgrid"))
     parser = SyntheticDataParserConfig(num_frames=10, image_height=96, image_width=144).setup()
     config = ADPipelineConfig(
         datamanager=ADDataManagerConfig(num_cam_patches=16, patch_size=32, num_lidar_rays=4096),

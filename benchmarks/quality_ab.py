@@ -52,6 +52,25 @@ def build_overrides(arm: str) -> dict:
         return {}
     if arm == "prop-hashgrid":
         return dict(proposal_mode="hashgrid")
+    if arm == "prop-hashgrid-unpacked":
+        # hashgrid proposals with FACE-SHARED (unpacked) corner storage while
+        # the main fields stay cell-packed: isolates the hypothesis that
+        # cell-packing's per-cell corner discontinuities are absorbed fine by
+        # the main field's MLP but destabilize the proposal's bias-free
+        # LINEAR decoder on 1-dim features (interlevel explosion diagnosis)
+        return dict(
+            proposal_mode="hashgrid",
+            proposal_static=(
+                StaticSettings(
+                    log2_hashmap_size=20, num_levels=6, max_res=4096, base_res=128,
+                    hashgrid_dim=1, cell_packed=False,
+                ),
+            ) * 2,
+            proposal_actor=ActorSettings(
+                log2_hashmap_size=15, num_levels=4, base_res=64, max_res=1024,
+                hashgrid_dim=1, cell_packed=False,
+            ),
+        )
     if arm == "prop-hashgrid-fp32":
         # hashgrid proposals + fp32 everywhere: if this trains stably while
         # prop-hashgrid diverges, the instability is bf16 table reads/MLPs in
