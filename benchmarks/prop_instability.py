@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--arm", default=None, help="explicit quality_ab arm name")
+    ap.add_argument(
+        "--reduced", action="store_true",
+        help="CPU-sized config matching benchmarks/ref_dynamics.py (4x16 patches, "
+        "1024 lidar rays, log2 19/18 tables, actors empty)",
+    )
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -47,9 +52,30 @@ def main():
     from neurad_tpu.pipelines.ad_pipeline import ADPipeline, ADPipelineConfig
 
     overrides = build_overrides(args.arm or ("prop-hashgrid-fp32" if args.fp32 else "prop-hashgrid"))
+    dm_cfg = ADDataManagerConfig(num_cam_patches=16, patch_size=32, num_lidar_rays=4096)
+    if args.reduced:
+        from benchmarks.ref_dynamics import N_LIDAR, N_PATCHES, PATCH, PROP, STATIC
+        from neurad_tpu.fields.neurad_encoding import ActorSettings, StaticSettings
+        from neurad_tpu.model_components.dynamic_actors import empty_actor_data
+
+        dm_cfg = ADDataManagerConfig(
+            num_cam_patches=N_PATCHES, patch_size=PATCH, num_lidar_rays=N_LIDAR
+        )
+        overrides = dict(
+            overrides,
+            actor_data=empty_actor_data(),
+            field_static=StaticSettings(**STATIC),
+            field_actor=ActorSettings(flip_prob=0.0),
+            proposal_static=(StaticSettings(**PROP),) * 2,
+            proposal_actor=ActorSettings(flip_prob=0.0, hashgrid_dim=1),
+            loss=None,  # replaced below
+        )
+        from neurad_tpu.models.neurad import LossSettings
+
+        overrides["loss"] = LossSettings(vgg_mult=0.0)
     parser = SyntheticDataParserConfig(num_frames=10, image_height=96, image_width=144).setup()
     config = ADPipelineConfig(
-        datamanager=ADDataManagerConfig(num_cam_patches=16, patch_size=32, num_lidar_rays=4096),
+        datamanager=dm_cfg,
         model_overrides=overrides,
         optimizer_groups=scaled_groups(args.steps),
         seed=args.seed,
