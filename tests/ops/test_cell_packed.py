@@ -272,3 +272,31 @@ def test_segsum_grad_unpacked_path(gather_dtype):
         tol = dict(rtol=1e-3, atol=2e-4) if gather_dtype is None else dict(rtol=1e-2, atol=1e-3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
     assert float(jnp.abs(g_plain[0]).max()) > 0
+
+
+def test_segsum_grad_bucket_packed_level(monkeypatch):
+    """segsum on a pk>1 (bucket-packed) cell-packed level: the scatter space is
+    the UNPACKED [rows*pk] view; bench L1 runs exactly this (pk=2)."""
+    monkeypatch.setattr(he, "_FAST_GATHER_MAX_ROWS", 2**9)
+    d, F, L = 3, 4, 3
+    scales = np.asarray(he.level_scales(L, 8, 24))
+    max_rows = 2**13
+    tables = he.init_hash_tables(
+        jax.random.PRNGKey(0), scales, d, max_rows, F, cell_packed=True, scale=0.5
+    )
+    _, dense_res, packs = he.level_layout(scales, d, max_rows, cell_packed=True)
+    assert max(packs) > 1, packs
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (301, d), minval=0.0, maxval=0.999)
+
+    def loss(tables, segsum):
+        out = he.hash_encode(
+            pos, tables, np.asarray(scales), cell_packed=True, dense_res=dense_res,
+            bucket_pack=packs, gather_dtype=None, segsum_max_rows=segsum,
+        )
+        return jnp.sum(jnp.sin(2.0 * out))
+
+    g_plain = jax.grad(lambda t: loss(t, 0))(tables)
+    g_seg = jax.grad(lambda t: loss(t, 1 << 20))(tables)  # covers ALL levels incl. pk>1
+    for a, b in zip(g_seg, g_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4)
+    assert float(jnp.abs(g_plain[0]).max()) > 0
