@@ -35,11 +35,19 @@ def run_once(job, attempt: int, logdir: str) -> str:
         )
     t0 = time.time()
     last_size, last_change = 0, time.time()
+    last_loop = time.time()
     while True:
         ret = proc.poll()
         if ret is not None:
             return "ok" if ret == 0 else f"exit={ret}"
         now = time.time()
+        if now - last_loop > 120:
+            # the runner itself was SIGSTOPped (bench.py pauses the whole
+            # queue tree during its timing window) — the job made no log
+            # progress through no fault of its own; hold both clocks
+            last_change = now
+            t0 += now - last_loop
+        last_loop = now
         size = os.path.getsize(log) if os.path.exists(log) else 0
         if size != last_size:
             last_size, last_change = size, now
